@@ -1,0 +1,157 @@
+"""Statically padded edge-list graph batches (the TPU-native Batch).
+
+The reference relies on PyG's dynamic-shape `Batch` collation (C-assisted host
+code); on TPU everything under jit needs static shapes, so a batch of disjoint
+graphs is padded to fixed ``(num_nodes, num_edges, num_graphs)`` bucket sizes:
+
+- padding *nodes* live at the tail, assigned to the padding graph (the last
+  graph slot) with ``node_mask=False``;
+- padding *edges* point sender/receiver at the last (padding) node with
+  ``edge_mask=False`` — their messages are masked before any segment reduce;
+- padding *graphs* carry ``graph_mask=False`` and zero labels.
+
+Replaces PyG Batch/DataLoader collation (reference: train scripts e.g.
+benchmarks/train_hiv.py:488-493) per SURVEY.md section 2.4.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["GraphsTuple", "pad_graph_batch", "batch_graphs"]
+
+
+@struct.dataclass
+class GraphsTuple:
+    """A padded batch of disjoint graphs, jit-stable."""
+
+    nodes: jax.Array      # [N_pad, ...] node features (int categorical or float)
+    edges: jax.Array      # [E_pad, ...] edge features
+    senders: jax.Array    # [E_pad] int32 source node index
+    receivers: jax.Array  # [E_pad] int32 destination node index
+    graph_ids: jax.Array  # [N_pad] int32 node -> graph index
+    node_mask: jax.Array  # [N_pad] bool
+    edge_mask: jax.Array  # [E_pad] bool
+    graph_mask: jax.Array  # [G_pad] bool
+    y: Optional[jax.Array] = None  # [G_pad, target_dim] labels (NaN = missing)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+    def count_nodes(self) -> jax.Array:
+        return jnp.sum(self.node_mask)
+
+    def count_edges(self) -> jax.Array:
+        return jnp.sum(self.edge_mask)
+
+    def count_graphs(self) -> jax.Array:
+        return jnp.sum(self.graph_mask)
+
+
+def batch_graphs(
+    graphs: Sequence[dict],
+    num_nodes: int,
+    num_edges: int,
+    num_graphs: int,
+    y_shape: Optional[tuple] = None,
+    node_dtype=np.int32,
+    edge_dtype=np.int32,
+    sort_edges_by_receiver: bool = True,
+) -> GraphsTuple:
+    """Host-side collation of per-graph dicts into one padded GraphsTuple.
+
+    Each graph dict: {"x": [n, Fx], "edge_index": [2, e] (senders; receivers),
+    "edge_attr": [e, Fe], "y": [target]}.  Edges are optionally sorted by
+    receiver so downstream fused kernels see quasi-contiguous segments.
+    Padding edges attach to the last node slot; padding nodes to the last graph.
+    """
+    assert len(graphs) <= num_graphs - 1 or all(
+        g["x"].shape[0] > 0 for g in graphs
+    ), "reserve one padding graph slot"
+    total_n = sum(int(g["x"].shape[0]) for g in graphs)
+    total_e = sum(int(g["edge_index"].shape[1]) for g in graphs)
+    if total_n > num_nodes - 1 or total_e > num_edges or len(graphs) > num_graphs - 1:
+        raise ValueError(
+            f"batch does not fit bucket: nodes {total_n}/{num_nodes - 1}, "
+            f"edges {total_e}/{num_edges}, graphs {len(graphs)}/{num_graphs - 1}")
+
+    fx = graphs[0]["x"].shape[1:] if graphs[0]["x"].ndim > 1 else ()
+    fe = graphs[0]["edge_attr"].shape[1:] if graphs[0]["edge_attr"].ndim > 1 else ()
+    nodes = np.zeros((num_nodes,) + fx, dtype=node_dtype)
+    edges = np.zeros((num_edges,) + fe, dtype=edge_dtype)
+    senders = np.full((num_edges,), num_nodes - 1, dtype=np.int32)
+    receivers = np.full((num_edges,), num_nodes - 1, dtype=np.int32)
+    graph_ids = np.full((num_nodes,), num_graphs - 1, dtype=np.int32)
+    node_mask = np.zeros((num_nodes,), dtype=bool)
+    edge_mask = np.zeros((num_edges,), dtype=bool)
+    graph_mask = np.zeros((num_graphs,), dtype=bool)
+
+    y = None
+    if y_shape is not None:
+        y = np.full((num_graphs,) + tuple(y_shape), np.nan, dtype=np.float32)
+
+    n_off = e_off = 0
+    for gi, g in enumerate(graphs):
+        n, e = int(g["x"].shape[0]), int(g["edge_index"].shape[1])
+        nodes[n_off:n_off + n] = g["x"]
+        graph_ids[n_off:n_off + n] = gi
+        node_mask[n_off:n_off + n] = True
+        if e:
+            edges[e_off:e_off + e] = g["edge_attr"]
+            senders[e_off:e_off + e] = g["edge_index"][0] + n_off
+            receivers[e_off:e_off + e] = g["edge_index"][1] + n_off
+            edge_mask[e_off:e_off + e] = True
+        graph_mask[gi] = True
+        if y is not None and g.get("y") is not None:
+            y[gi] = np.asarray(g["y"], dtype=np.float32).reshape(y_shape)
+        n_off += n
+        e_off += e
+
+    if sort_edges_by_receiver:
+        order = np.argsort(receivers, kind="stable")
+        edges, senders, receivers, edge_mask = (
+            edges[order], senders[order], receivers[order], edge_mask[order])
+
+    return GraphsTuple(
+        nodes=jnp.asarray(nodes), edges=jnp.asarray(edges),
+        senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
+        graph_ids=jnp.asarray(graph_ids),
+        node_mask=jnp.asarray(node_mask), edge_mask=jnp.asarray(edge_mask),
+        graph_mask=jnp.asarray(graph_mask),
+        y=jnp.asarray(y) if y is not None else None)
+
+
+def pad_graph_batch(batch: GraphsTuple, num_nodes: int, num_edges: int,
+                    num_graphs: int) -> GraphsTuple:
+    """Pad an existing GraphsTuple up to larger static sizes (bucket promote)."""
+    def pad_to(arr, size, fill=0):
+        pad = size - arr.shape[0]
+        if pad <= 0:
+            return arr
+        cfg = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, cfg, constant_values=fill)
+
+    return GraphsTuple(
+        nodes=pad_to(batch.nodes, num_nodes),
+        edges=pad_to(batch.edges, num_edges),
+        senders=pad_to(batch.senders, num_edges, num_nodes - 1),
+        receivers=pad_to(batch.receivers, num_edges, num_nodes - 1),
+        graph_ids=pad_to(batch.graph_ids, num_nodes, num_graphs - 1),
+        node_mask=pad_to(batch.node_mask, num_nodes, False),
+        edge_mask=pad_to(batch.edge_mask, num_edges, False),
+        graph_mask=pad_to(batch.graph_mask, num_graphs, False),
+        y=pad_to(batch.y, num_graphs, np.nan) if batch.y is not None else None)

@@ -1,0 +1,171 @@
+"""Hypercomplex batch normalization, functional with explicit running stats.
+
+``naive-batch-norm``        — n independent BatchNorms, one per component
+                              (reference: phc/hypercomplex/norm.py:5-39);
+``naive-naive-batch-norm``  — a single BatchNorm over the flat ``n*d`` vector
+                              (reference: phc/hypercomplex/norm.py:45-74);
+``q-batch-norm``            — full quaternion whitening BN: per-feature 4x4
+                              covariance, closed-form Cholesky solve, learnable
+                              4x4-per-feature Gamma (init 0.5 I) and 4-vector
+                              beta (reference: phc/quaternion/norm.py:104-276).
+
+BN semantics follow torch.nn.BatchNorm1d: batch statistics use biased variance
+for normalization, running stats are updated as
+``running += momentum * (batch - running)`` with torch's momentum=0.1 and the
+reference's update form (quaternion/norm.py:113-127); running var stores the
+*biased* batch variance as the reference does for the whitening BN and torch's
+unbiased for the naive BNs — we use biased everywhere and note the divergence
+(unbiased correction N/(N-1) is < 0.1% at reference batch sizes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["PHMNorm", "QuaternionWhiteningNorm"]
+
+
+class _BatchNorm(nn.Module):
+    """Shared BN core over leading batch axis; feature shape = input.shape[1:]."""
+
+    momentum: float = 0.1  # torch-style: running += momentum * (batch - running)
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        feat_shape = x.shape[1:]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feat_shape, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feat_shape, jnp.float32))
+        if training:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+            if not self.is_initializing():
+                ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
+                ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, feat_shape)
+            bias = self.param("bias", nn.initializers.zeros, feat_shape)
+            y = y * scale + bias
+        return y
+
+
+class PHMNorm(nn.Module):
+    """Wrapper dispatching on norm_type
+    (reference: phc/hypercomplex/norm.py:45-74)."""
+
+    num_features: int  # flat size (n * per-component)
+    phm_dim: int
+    norm_type: str = "naive-batch-norm"
+    momentum: float = 0.1
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        assert self.norm_type in ("naive-batch-norm", "naive-naive-batch-norm")
+        n = self.phm_dim
+        if self.norm_type == "naive-batch-norm":
+            # [N, n*d] -> [N, n, d]: one BN per (component, feature) pair ==
+            # n independent per-component BatchNorm1d(d)
+            d = self.num_features // n
+            xs = x.reshape(x.shape[0], n, d)
+            y = _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
+                xs, training=training)
+            return y.reshape(x.shape).astype(x.dtype)
+        return _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
+            x, training=training).astype(x.dtype)
+
+
+def _cholesky4x4(cov: jax.Array) -> jax.Array:
+    """Closed-form Cholesky of symmetric 4x4 matrices, batched over leading axes
+    (vectorized form of reference phc/quaternion/norm.py:20-60)."""
+    c = cov
+    l_rr = jnp.sqrt(c[..., 0, 0])
+    l_ri = c[..., 0, 1] / l_rr
+    l_ii = jnp.sqrt(c[..., 1, 1] - l_ri * l_ri)
+    l_rj = c[..., 0, 2] / l_rr
+    l_ij = (c[..., 1, 2] - l_ri * l_rj) / l_ii
+    l_jj = jnp.sqrt(c[..., 2, 2] - (l_ij * l_ij + l_rj * l_rj))
+    l_rk = c[..., 0, 3] / l_rr
+    l_ik = (c[..., 1, 3] - l_ri * l_rk) / l_ii
+    l_jk = (c[..., 2, 3] - (l_ij * l_ik + l_rj * l_rk)) / l_jj
+    l_kk = jnp.sqrt(c[..., 3, 3] - (l_jk * l_jk + l_ik * l_ik + l_rk * l_rk))
+    z = jnp.zeros_like(l_rr)
+    row0 = jnp.stack([l_rr, z, z, z], axis=-1)
+    row1 = jnp.stack([l_ri, l_ii, z, z], axis=-1)
+    row2 = jnp.stack([l_rj, l_ij, l_jj, z], axis=-1)
+    row3 = jnp.stack([l_rk, l_ik, l_jk, l_kk], axis=-1)
+    return jnp.stack([row0, row1, row2, row3], axis=-2)
+
+
+def _solve_lower4x4(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution L y = b for 4x4 lower-triangular L (..., 4, 4) and
+    b (..., 4) — avoids generic LAPACK on TPU."""
+    y0 = b[..., 0] / l[..., 0, 0]
+    y1 = (b[..., 1] - l[..., 1, 0] * y0) / l[..., 1, 1]
+    y2 = (b[..., 2] - l[..., 2, 0] * y0 - l[..., 2, 1] * y1) / l[..., 2, 2]
+    y3 = (b[..., 3] - l[..., 3, 0] * y0 - l[..., 3, 1] * y1
+          - l[..., 3, 2] * y2) / l[..., 3, 3]
+    return jnp.stack([y0, y1, y2, y3], axis=-1)
+
+
+class QuaternionWhiteningNorm(nn.Module):
+    """Full quaternion whitening batch-norm ('q-batch-norm').
+
+    Input: stacked quaternion tensor [N, 4, d].  Whitens each feature's 4-vector
+    to identity covariance via the closed-form 4x4 Cholesky (triangular solve
+    instead of an explicit inverse), then applies the learnable 4x4 Gamma
+    (init 0.5 I) and beta (reference: phc/quaternion/norm.py:104-276).
+    """
+
+    num_features: int  # per-component feature count d
+    momentum: float = 0.1
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        d = self.num_features
+        assert x.ndim == 3 and x.shape[1] == 4 and x.shape[2] == d
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((4, d), jnp.float32))
+        ra_cov = self.variable(
+            "batch_stats", "cov",
+            lambda: jnp.broadcast_to(jnp.eye(4)[..., None], (4, 4, d)).astype(jnp.float32))
+        if training:
+            mean = jnp.mean(x, axis=0)  # [4, d]
+            centered = x - mean[None]
+            # per-feature 4x4 covariance: [d, 4, 4]
+            cov = jnp.einsum("ncd,nkd->dck", centered, centered) / x.shape[0]
+            if not self.is_initializing():
+                ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
+                ra_cov.value = ra_cov.value + self.momentum * (
+                    jnp.transpose(cov, (1, 2, 0)) - ra_cov.value)
+        else:
+            mean = ra_mean.value
+            centered = x - mean[None]
+            cov = jnp.transpose(ra_cov.value, (2, 0, 1))
+        cov = cov + self.eps * jnp.eye(4)[None]
+        l = _cholesky4x4(cov)  # [d, 4, 4]
+        # whiten: z = L^{-1} (x - mean), per feature
+        b = jnp.transpose(centered, (0, 2, 1))  # [N, d, 4]
+        z = _solve_lower4x4(l[None], b)  # [N, d, 4]
+        z = jnp.transpose(z, (0, 2, 1))  # [N, 4, d]
+        if self.affine:
+            def gamma_init(key, shape, dtype=jnp.float32):
+                return jnp.broadcast_to((0.5 * jnp.eye(4))[..., None], shape).astype(dtype)
+
+            gamma = self.param("gamma", gamma_init, (4, 4, d))
+            beta = self.param("beta", nn.initializers.zeros, (4, d))
+            z = jnp.einsum("ckd,nkd->ncd", gamma, z) + beta[None]
+        return z

@@ -1,0 +1,82 @@
+"""Optimizer and LR scheduling: Adam + ReduceLROnPlateau + grad clipping.
+
+The reference uses torch Adam over parameter groups that all share the same lr
+(the groups exist only for bookkeeping — train_hiv.py:266-285), weight decay
+realized as explicit regularization terms added to the loss
+(train_hiv.py:180-191), plus ``ReduceLROnPlateau`` (factor/patience/mode) and
+global-norm grad clipping (train_hiv.py:198-200).
+
+Here: optax adam with an injected learning-rate state so the host-side plateau
+scheduler can update lr without recompiling the jitted step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["make_optimizer", "ReduceLROnPlateau"]
+
+
+def make_optimizer(lr: float, grad_clip: float = 0.0,
+                   eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with optional global-norm clipping; lr is an injected hyperparam
+    (update via ``opt_state.hyperparams['learning_rate']``)."""
+    chain = []
+    if grad_clip and grad_clip > 0.0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=eps)
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected learning rate inside an optimizer state pytree."""
+    def update(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state
+
+    if isinstance(opt_state, tuple):
+        return tuple(update(s) for s in opt_state)
+    return update(opt_state)
+
+
+@dataclass
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler matching torch semantics
+    (mode max/min, factor, patience, min_lr; train_hiv.py:287-289)."""
+
+    lr: float
+    mode: str = "max"  # max | min
+    factor: float = 0.75
+    patience: int = 10
+    min_lr: float = 1e-6
+    threshold: float = 1e-4
+
+    best: float = field(default=None, init=False)
+    num_bad: int = field(default=0, init=False)
+
+    def step(self, metric: float) -> float:
+        """Feed the epoch's validation metric; returns the (possibly reduced) lr."""
+        if self.best is None:
+            self.best = metric
+            return self.lr
+        if self.mode == "max":
+            improved = metric > self.best * (1.0 + self.threshold) if self.best >= 0 \
+                else metric > self.best * (1.0 - self.threshold)
+        else:
+            improved = metric < self.best * (1.0 - self.threshold) if self.best >= 0 \
+                else metric < self.best * (1.0 + self.threshold)
+        if improved:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr

@@ -1,0 +1,93 @@
+"""Functional train state and jitted train/eval steps.
+
+The reference's per-batch hot loop (train_hiv.py:170-204: forward, masked loss,
+explicit lr*wd regularization terms, backward, clip, Adam step) becomes one
+jitted function over a pytree state; BN running stats thread through as a
+mutable collection; dropout keys fold from the state rng.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from phc_gnn_tpu.graph.batch import GraphsTuple
+from phc_gnn_tpu.nn.regularization import (
+    multiplication_rule_regularization,
+    phm_weight_regularization,
+)
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    rng: jax.Array
+    step: jax.Array  # int32 scalar
+
+
+def create_train_state(model, tx, sample_batch: GraphsTuple, rng: jax.Array,
+                       init_rng: Optional[jax.Array] = None) -> TrainState:
+    init_rng = init_rng if init_rng is not None else rng
+    variables = model.init(init_rng, sample_batch, training=True,
+                           dropout_rng=jax.random.fold_in(init_rng, 1))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), rng=rng,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx, loss_fn: Callable,
+                    weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                    reg_p: int = 2, donate: bool = True):
+    """Build the jitted train step.
+
+    loss_fn(logits, batch) -> scalar.  Regularization follows the reference:
+    ``loss += lr*wd*phm_weight_reg + lr*wd2*rule_reg`` (train_hiv.py:180-191),
+    with lr passed in to track the plateau scheduler.
+    """
+
+    def step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_and_aux(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, training=True, dropout_rng=rng,
+                mutable=["batch_stats"])
+            loss = loss_fn(out, batch)
+            if weight_decay > 0.0:
+                loss = loss + lr * weight_decay * phm_weight_regularization(
+                    params, p=reg_p)
+            if weight_decay2 > 0.0:
+                loss = loss + lr * weight_decay2 * multiplication_rule_regularization(
+                    params, p=1)
+            return loss, (out, updates.get("batch_stats", state.batch_stats))
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, loss, out
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    def step(state: TrainState, batch: GraphsTuple):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, training=False)
+
+    return jax.jit(step)

@@ -1,0 +1,279 @@
+"""L2 NN-module tests: PHMLinear, MLP, RealTransformer, norm, dropout, encoders,
+downstream head, regularization.
+
+Oracle pattern follows the reference test suite: closed-form formulas and
+equivalence between independent implementations (reference:
+phc/hypercomplex/tests/test_ops_equal_quaternion.py,
+phc/quaternion/tests/{test_batchnorm,test_dropout,test_reset_parameters}.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phc_gnn_tpu.hypercomplex import quaternion_rule
+from phc_gnn_tpu.nn import (
+    IntegerEncoder,
+    NaivePHMEncoder,
+    PHMDownstreamNet,
+    PHMEncoder,
+    PHMLinear,
+    PHMMLP,
+    PHMNorm,
+    QuaternionWhiteningNorm,
+    RealTransformer,
+    multiplication_rule_regularization,
+    phm_dropout,
+    phm_weight_regularization,
+)
+
+
+def test_phm_linear_matches_oracle():
+    n, fi, fo, batch = 4, 8, 12, 32
+    layer = PHMLinear(in_features=n * fi, out_features=n * fo, phm_dim=n)
+    x = jax.random.normal(jax.random.key(0), (batch, n * fi))
+    params = layer.init(jax.random.key(1), x)
+    y = layer.apply(params, x)
+    w = np.asarray(params["params"]["W"])
+    rule = np.asarray(params["params"]["phm_rule"])
+    b = np.asarray(params["params"]["b"])
+    h = sum(np.kron(rule[i], w[i]) for i in range(n))
+    np.testing.assert_allclose(y, np.asarray(x) @ h + b, rtol=1e-4, atol=1e-4)
+
+
+def test_phm_linear_bias_init_blocks():
+    n, fi, fo = 4, 4, 4
+    layer = PHMLinear(in_features=n * fi, out_features=n * fo, phm_dim=n)
+    params = layer.init(jax.random.key(0), jnp.zeros((1, n * fi)))
+    b = np.asarray(params["params"]["b"])
+    np.testing.assert_array_equal(b[:fo], 0.0)
+    np.testing.assert_array_equal(b[fo:], np.float32(0.2))
+
+
+def test_phm_linear_standard_rule_param():
+    layer = PHMLinear(in_features=8, out_features=8, phm_dim=4, c_init="standard")
+    params = layer.init(jax.random.key(0), jnp.zeros((1, 8)))
+    np.testing.assert_array_equal(params["params"]["phm_rule"], quaternion_rule())
+
+
+def test_phm_linear_shared_rule():
+    layer = PHMLinear(in_features=8, out_features=8, phm_dim=4, shared_rule=True)
+    rule = jnp.asarray(quaternion_rule())
+    x = jax.random.normal(jax.random.key(0), (3, 8))
+    params = layer.init(jax.random.key(1), x, rule)
+    assert "phm_rule" not in params["params"]
+    y = layer.apply(params, x, rule)
+    assert y.shape == (3, 8)
+
+
+def test_phm_linear_param_count():
+    """PHMLinear(128->256, n=4): 8,512 params vs nn.Linear's 33,024
+    (reference: phc/README.md:24-30)."""
+    layer = PHMLinear(in_features=128, out_features=256, phm_dim=4)
+    params = layer.init(jax.random.key(0), jnp.zeros((1, 128)))
+    count = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # W: 4*32*64=8192, b: 256, rule: 64 -> 8512
+    assert count == 8512
+
+
+def test_phm_init_reset_differs_by_seed():
+    """Two inits with different keys give different weights; same key identical
+    (reference: phc/quaternion/tests/test_reset_parameters.py:22-50)."""
+    layer = PHMLinear(in_features=16, out_features=16, phm_dim=4)
+    x = jnp.zeros((1, 16))
+    p1 = layer.init(jax.random.key(0), x)
+    p2 = layer.init(jax.random.key(0), x)
+    p3 = layer.init(jax.random.key(1), x)
+    np.testing.assert_array_equal(p1["params"]["W"], p2["params"]["W"])
+    assert not np.allclose(p1["params"]["W"], p3["params"]["W"])
+
+
+def test_phm_mlp_shapes():
+    mlp = PHMMLP(in_features=16, out_features=8, phm_dim=4, norm="naive-batch-norm")
+    x = jax.random.normal(jax.random.key(0), (10, 16))
+    variables = mlp.init(jax.random.key(1), x, training=True)
+    y, updates = mlp.apply(variables, x, training=True, mutable=["batch_stats"])
+    assert y.shape == (10, 8)
+    assert "batch_stats" in updates
+
+
+@pytest.mark.parametrize("trafo", ["linear", "sum", "mean", "norm"])
+def test_real_transformer(trafo):
+    n, d, batch = 4, 6, 5
+    layer = RealTransformer(trafo_type=trafo, in_features=n * d, phm_dim=n)
+    x = jax.random.normal(jax.random.key(0), (batch, n * d))
+    params = layer.init(jax.random.key(1), x)
+    y = layer.apply(params, x)
+    assert y.shape == (batch, d)
+    xs = np.asarray(x).reshape(batch, n, d)
+    if trafo == "sum":
+        np.testing.assert_allclose(y, xs.sum(1), rtol=1e-5)
+    elif trafo == "mean":
+        np.testing.assert_allclose(y, xs.mean(1), rtol=1e-5)
+    elif trafo == "norm":
+        np.testing.assert_allclose(y, np.linalg.norm(xs, axis=1), rtol=1e-5)
+
+
+def test_naive_phm_norm_zero_mean_unit_var():
+    """naive BN yields per-(component, feature) zero mean / unit var in train mode
+    (reference: phc/quaternion/tests/test_batchnorm.py:11-30)."""
+    n, d, batch = 4, 8, 256
+    norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-batch-norm")
+    x = 3.0 + 2.0 * jax.random.normal(jax.random.key(0), (batch, n * d))
+    variables = norm.init(jax.random.key(1), x, training=True)
+    y, _ = norm.apply(variables, x, training=True, mutable=["batch_stats"])
+    ys = np.asarray(y).reshape(batch, n, d)
+    np.testing.assert_allclose(ys.mean(0), np.zeros((n, d)), atol=1e-4)
+    np.testing.assert_allclose(ys.std(0), np.ones((n, d)), atol=1e-2)
+
+
+def test_naive_naive_norm_equals_flat_bn():
+    n, d, batch = 2, 4, 128
+    norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-naive-batch-norm")
+    x = jax.random.normal(jax.random.key(0), (batch, n * d)) * 5 + 1
+    variables = norm.init(jax.random.key(1), x, training=True)
+    y, _ = norm.apply(variables, x, training=True, mutable=["batch_stats"])
+    want = (np.asarray(x) - np.asarray(x).mean(0)) / np.sqrt(np.asarray(x).var(0) + 1e-5)
+    np.testing.assert_allclose(y, want, atol=1e-4)
+
+
+def test_norm_running_stats_update_and_eval():
+    n, d, batch = 2, 4, 64
+    norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-naive-batch-norm")
+    x = jax.random.normal(jax.random.key(0), (batch, n * d)) * 2 + 3
+    variables = norm.init(jax.random.key(1), x, training=True)
+    _, updates = norm.apply(variables, x, training=True, mutable=["batch_stats"])
+    stats = updates["batch_stats"]["bn"]
+    # running = 0 + 0.1 * (batch_mean - 0)
+    np.testing.assert_allclose(stats["mean"], 0.1 * np.asarray(x).mean(0), rtol=1e-4)
+    np.testing.assert_allclose(
+        stats["var"], 1.0 + 0.1 * (np.asarray(x).var(0) - 1.0), rtol=1e-4)
+    # eval mode uses running stats
+    variables2 = {"params": variables.get("params", {}), "batch_stats": updates["batch_stats"]}
+    y_eval = norm.apply(variables2, x, training=False)
+    want = (np.asarray(x) - np.asarray(stats["mean"])) / np.sqrt(np.asarray(stats["var"]) + 1e-5)
+    np.testing.assert_allclose(y_eval, want, atol=1e-4)
+
+
+def test_quaternion_whitening_norm():
+    """Whitened output has (approximately) zero mean and identity 4x4 covariance
+    per feature (reference: phc/quaternion/tests/test_batchnorm.py whitening)."""
+    d, batch = 6, 4096
+    norm = QuaternionWhiteningNorm(num_features=d, affine=False)
+    key = jax.random.key(0)
+    # correlated components
+    base = jax.random.normal(key, (batch, 1, d))
+    noise = 0.3 * jax.random.normal(jax.random.key(1), (batch, 4, d))
+    x = base + noise + jnp.asarray([1.0, -2.0, 0.5, 3.0]).reshape(1, 4, 1)
+    variables = norm.init(jax.random.key(2), x, training=True)
+    y, _ = norm.apply(variables, x, training=True, mutable=["batch_stats"])
+    y = np.asarray(y)
+    np.testing.assert_allclose(y.mean(0), np.zeros((4, d)), atol=1e-3)
+    for f in range(d):
+        cov = np.cov(y[:, :, f].T, bias=True)
+        np.testing.assert_allclose(cov, np.eye(4), atol=5e-2)
+
+
+def test_whitening_norm_affine_init_is_half_identity():
+    d = 3
+    norm = QuaternionWhiteningNorm(num_features=d)
+    x = jax.random.normal(jax.random.key(0), (32, 4, d))
+    variables = norm.init(jax.random.key(1), x, training=True)
+    gamma = np.asarray(variables["params"]["gamma"])
+    for f in range(d):
+        np.testing.assert_allclose(gamma[:, :, f], 0.5 * np.eye(4))
+
+
+def test_phm_dropout_scaling_and_same_mask():
+    """Surviving entries equal input/(1-p); same=True shares the mask across
+    components (reference: phc/quaternion/tests/test_dropout.py:15-45)."""
+    n, d, batch, p = 4, 16, 64, 0.5
+    x = jnp.ones((batch, n * d))
+    y = phm_dropout(jax.random.key(0), x, p, n, training=True, same=False)
+    vals = np.unique(np.asarray(y).round(6))
+    assert set(vals).issubset({0.0, 2.0})
+    y_same = phm_dropout(jax.random.key(1), x, p, n, training=True, same=True)
+    ys = np.asarray(y_same).reshape(batch, n, d)
+    for c in range(1, n):
+        np.testing.assert_array_equal(ys[:, c], ys[:, 0])
+    # p=0 or eval mode: identity
+    np.testing.assert_array_equal(phm_dropout(None, x, 0.0, n), x)
+    np.testing.assert_array_equal(
+        phm_dropout(None, x, 0.5, n, training=False), x)
+
+
+def test_integer_encoder_sum_and_concat():
+    dims = [5, 7, 3]
+    x = jnp.asarray([[0, 1, 2], [4, 6, 0]], dtype=jnp.int32)
+    enc = IntegerEncoder(out_dim=8, input_dims=dims, combine="sum")
+    params = enc.init(jax.random.key(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (2, 8)
+    tables = [np.asarray(params["params"][f"embedding_{i}"]) for i in range(3)]
+    want = tables[0][[0, 4]] + tables[1][[1, 6]] + tables[2][[2, 0]]
+    np.testing.assert_allclose(y, want, rtol=1e-6)
+    enc_c = IntegerEncoder(out_dim=8, input_dims=dims, combine="concat")
+    params_c = enc_c.init(jax.random.key(0), x)
+    assert enc_c.apply(params_c, x).shape == (2, 24)
+
+
+def test_phm_encoder_stacks_components():
+    enc = PHMEncoder(out_dim=6, input_dims=[4, 5], phm_dim=3)
+    x = jnp.asarray([[1, 2], [0, 4]], dtype=jnp.int32)
+    params = enc.init(jax.random.key(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (2, 3, 6)
+    # components use independent encoders -> differ
+    assert not np.allclose(y[:, 0], y[:, 1])
+
+
+def test_naive_phm_encoder_copies_components():
+    enc = NaivePHMEncoder(out_dim=6, input_dims=[4, 5], phm_dim=3)
+    x = jnp.asarray([[1, 2], [0, 4]], dtype=jnp.int32)
+    params = enc.init(jax.random.key(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (2, 3, 6)
+    np.testing.assert_array_equal(y[:, 0], y[:, 1])
+    np.testing.assert_array_equal(y[:, 0], y[:, 2])
+
+
+def test_continuous_encoder():
+    enc = PHMEncoder(out_dim=6, input_dims=3, phm_dim=2)
+    x = jax.random.normal(jax.random.key(0), (4, 3))
+    params = enc.init(jax.random.key(1), x)
+    assert enc.apply(params, x).shape == (4, 2, 6)
+
+
+def test_downstream_net_end_to_end():
+    n = 4
+    net = PHMDownstreamNet(in_features=32, hidden_layers=[16, 8], out_features=3,
+                           phm_dim=n, norm="naive-batch-norm", dropout=[0.2, 0.1])
+    x = jax.random.normal(jax.random.key(0), (10, 32))
+    variables = net.init(jax.random.key(1), x, training=True,
+                         dropout_rng=jax.random.key(2))
+    y, _ = net.apply(variables, x, training=True, dropout_rng=jax.random.key(3),
+                     mutable=["batch_stats"])
+    assert y.shape == (10, 3)
+    y_eval = net.apply(variables, x, training=False)
+    assert y_eval.shape == (10, 3)
+    assert np.all(np.isfinite(np.asarray(y_eval)))
+
+
+def test_regularization_walks_params():
+    n = 4
+    net = PHMDownstreamNet(in_features=16, hidden_layers=[8], out_features=1,
+                           phm_dim=n, norm=None, dropout=0.0)
+    x = jnp.zeros((2, 16))
+    variables = net.init(jax.random.key(0), x)
+    params = variables["params"]
+    reg_w = phm_weight_regularization(params, p=2)
+    reg_c = multiplication_rule_regularization(params, p=1)
+    assert float(reg_w) > 0
+    # two PHMLinear layers, each standard quaternion rule: |rule|_1 = 16 each
+    np.testing.assert_allclose(float(reg_c), 32.0, rtol=1e-5)
+
+    # oracle: manual computation over the two W leaves
+    w_leaves = [params["affine_0"]["W"], params["affine_1"]["W"]]
+    want = sum(float(jnp.mean(jnp.sqrt(jnp.sum(w * w, axis=0)))) for w in w_leaves)
+    np.testing.assert_allclose(float(reg_w), want, rtol=1e-5)
