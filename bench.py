@@ -1,0 +1,78 @@
+"""Benchmark: edges/s/chip for the PHC-GNN (n=4) training step on real TPU.
+
+Primary metric from BASELINE.json: edges/s/chip of the fused PHM (n=4)
+message-passing step.  Measures the full jitted train step (fwd + bwd + Adam)
+of the flagship ZINC-config model over a realistic padded molecular batch;
+edges/s counts *real* (unpadded) edges.  The reference publishes no throughput
+numbers (BASELINE.md), so vs_baseline is reported against the target of 1.0.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS, synthetic_batch
+    from phc_gnn_tpu.models import PHCGNN
+    from phc_gnn_tpu.train import create_train_state, make_optimizer, make_train_step
+    from phc_gnn_tpu.train.loss import masked_l1
+
+    dim = 200
+    model = PHCGNN(
+        phm_dim=4, atom_input_dims=ZINC_ATOM_DIMS,
+        bond_input_dims=ZINC_BOND_DIMS, atom_encoded_dim=dim,
+        mp_layers=(dim, dim, dim, dim), dropout_mpnn=(0.1,) * 4,
+        downstream_layers=(200, 100), target_dim=1, dropout_dn=(0.2, 0.1),
+        msg_aggr="softmax", mlp_mp=True, sc_type="last")
+
+    batch = synthetic_batch(batch_size=128, num_nodes=4096, num_edges=8192,
+                            seed=0)
+    real_edges = int(batch.count_edges())
+
+    tx = make_optimizer(1e-3, grad_clip=2.0)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, tx, lambda out, b: masked_l1(out, b.y),
+                           weight_decay=0.1, donate=False)
+    lr = jnp.float32(1e-3)
+
+    # warmup / compile
+    for _ in range(3):
+        state, loss, _ = step(state, batch, lr)
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, batch, lr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = iters / dt
+    edges_per_s = real_edges * steps_per_s
+    result = {
+        "metric": "edges/s/chip (PHC-GNN n=4 train step, ZINC config)",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "steps_per_s": round(steps_per_s, 2),
+            "real_edges_per_batch": real_edges,
+            "padded_nodes": batch.num_nodes,
+            "padded_edges": batch.num_edges,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,10 @@ AGGREGATORS = {
 }
 
 
-def node_degrees(receivers, num_nodes: int, edge_mask=None) -> jax.Array:
+def node_degrees(receivers, num_nodes: int, edge_mask=None, axis_name=None) -> jax.Array:
     """In-degree per node as float [N, 1]."""
-    return seg.segment_count(receivers, num_nodes, edge_mask)[:, None]
+    return seg.segment_count(receivers, num_nodes, edge_mask,
+                             axis_name=axis_name)[:, None]
 
 
 def scale_identity(x, deg, avg_deg):
@@ -68,13 +69,15 @@ SCALERS = {
 
 
 def softmax_aggregate(messages, receivers, num_nodes: int, beta,
-                      edge_mask=None) -> jax.Array:
+                      edge_mask=None, axis_name=None) -> jax.Array:
     """Softmax aggregation: w = segment_softmax(beta * m); out = segment_sum(w*m)
     (reference: phc/hypercomplex/aggregator.py:36-54 and
-    undirectional/messagepassing.py:211-214)."""
+    undirectional/messagepassing.py:211-214).  With ``axis_name`` the softmax
+    and the sum are exact across an edge-partition mesh axis."""
     weights = seg.segment_softmax_weights(beta * messages, receivers, num_nodes,
-                                          edge_mask)
-    return seg.segment_sum(weights * messages, receivers, num_nodes, edge_mask)
+                                          edge_mask, axis_name=axis_name)
+    return seg.segment_sum(weights * messages, receivers, num_nodes, edge_mask,
+                           axis_name=axis_name)
 
 
 def phm_cat(tensors: Sequence[jax.Array], phm_dim: int) -> jax.Array:

@@ -68,13 +68,15 @@ class PHMConv(nn.Module):
     same_dim: bool = True
     msg_encoder: str = "identity"
     shared_rule: bool = False
+    edge_axis: Optional[str] = None  # mesh axis of the edge partition
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
-        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask)
+        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask,
+                                      axis_name=self.edge_axis)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, name="transform")
@@ -106,13 +108,15 @@ class PHMGINEConv(nn.Module):
     aggr: str = "sum"
     msg_encoder: str = "identity"
     shared_rule: bool = False
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
-        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask)
+        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask,
+                                      axis_name=self.edge_axis)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -139,6 +143,7 @@ class PHMConvSoftmax(nn.Module):
     initial_beta: float = 1.0
     learn_beta: bool = True
     shared_rule: bool = False
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -148,7 +153,8 @@ class PHMConvSoftmax(nn.Module):
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
-        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask)
+        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
+                                 axis_name=self.edge_axis)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, name="transform")
@@ -181,6 +187,7 @@ class PHMGINEConvSoftmax(nn.Module):
     initial_beta: float = 1.0
     learn_beta: bool = True
     shared_rule: bool = False
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -190,7 +197,8 @@ class PHMGINEConvSoftmax(nn.Module):
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
-        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask)
+        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
+                                 axis_name=self.edge_axis)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -221,16 +229,19 @@ class PHMPNAConvSimple(nn.Module):
     post_layers: int = 1
     msg_encoder: str = "relu"
     shared_rule: bool = False
+    edge_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
-        outs = [AGGREGATORS[a](msgs, receivers, num_nodes, edge_mask)
+        outs = [AGGREGATORS[a](msgs, receivers, num_nodes, edge_mask,
+                               axis_name=self.edge_axis)
                 for a in self.aggregators]
         out = phm_cat(outs, self.phm_dim)
-        deg = node_degrees(receivers, num_nodes, edge_mask)
+        deg = node_degrees(receivers, num_nodes, edge_mask,
+                           axis_name=self.edge_axis)
         outs = [SCALERS[s](out, deg, self.avg_deg) for s in self.scalers]
         out = phm_cat(outs, self.phm_dim)
 
@@ -271,6 +282,7 @@ class PHMMessagePassing(nn.Module):
     initial_beta: float = 1.0
     learn_beta: bool = True
     shared_rule: bool = False
+    edge_axis: Optional[str] = None
     # pna extras
     avg_deg: Optional[Dict[str, float]] = None
     aggregators: Sequence[str] = ("mean", "min", "max", "std")
@@ -284,7 +296,7 @@ class PHMMessagePassing(nn.Module):
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
                       bias=self.bias, w_init=self.w_init, c_init=self.c_init,
-                      shared_rule=self.shared_rule)
+                      shared_rule=self.shared_rule, edge_axis=self.edge_axis)
         if aggr == "pna":
             conv = PHMPNAConvSimple(
                 avg_deg=self.avg_deg, activation=self.activation, norm=self.norm,

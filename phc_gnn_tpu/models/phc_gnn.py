@@ -74,6 +74,7 @@ class PHCGNN(nn.Module):
     skip_connect: str = "add"  # add | concat
     initial_beta: float = 1.0
     learn_beta: bool = True
+    edge_axis: Optional[str] = None  # mesh axis for edge partitioning
     # pna extras
     avg_deg: Optional[Dict[str, float]] = None
     pna_aggregators: Sequence[str] = ("mean", "min", "max", "std")
@@ -137,6 +138,7 @@ class PHCGNN(nn.Module):
                 same_dim=(self.skip_connect == "add"),
                 msg_encoder=self.msg_encoder, initial_beta=self.initial_beta,
                 learn_beta=self.learn_beta, shared_rule=shared,
+                edge_axis=self.edge_axis,
                 avg_deg=self.avg_deg, aggregators=self.pna_aggregators,
                 scalers=self.pna_scalers, post_layers=self.pna_post_layers,
                 name=f"conv_{i}")

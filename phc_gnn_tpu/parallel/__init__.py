@@ -1,0 +1,14 @@
+"""Multi-chip parallelism: mesh, data parallel, edge partitioning."""
+
+from phc_gnn_tpu.parallel.mesh import make_mesh, replicated, sharded
+from phc_gnn_tpu.parallel.dp import (
+    make_dp_train_step,
+    shard_batch,
+    stack_batches,
+)
+from phc_gnn_tpu.parallel.edge_partition import (
+    edge_partition_specs,
+    make_dp_ep_train_step,
+    make_ep_train_step,
+    partition_edges,
+)

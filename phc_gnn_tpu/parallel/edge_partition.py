@@ -1,0 +1,165 @@
+"""Edge-partitioned model parallelism (the graph analogue of sequence parallel).
+
+One giant padded batch's *edge set* is partitioned across the ``ep`` mesh axis:
+each chip owns an equal edge shard (edge features, senders, receivers, mask)
+while node arrays are replicated.  Every conv's segment reduction produces a
+partial node aggregate from the local edge shard, combined exactly across chips
+by the collectives built into phc_gnn_tpu.graph.segment (psum / pmax / pmin,
+including the two-pass distributed segment softmax).  Parameters and node
+compute are replicated; gradients arrive identical on every chip by the psum in
+the backward pass of the aggregation collectives.
+
+This is the BASELINE.json north-star scheme (boundary information exchanged
+over ICI, overlapped with local aggregation by XLA's latency-hiding scheduler).
+Combine with dp: mesh (dp, ep) — batches sharded over dp, each batch's edges
+over ep.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from phc_gnn_tpu.graph.batch import GraphsTuple
+from phc_gnn_tpu.nn.regularization import (
+    multiplication_rule_regularization,
+    phm_weight_regularization,
+)
+from phc_gnn_tpu.train.state import TrainState
+
+__all__ = ["partition_edges", "make_ep_train_step", "edge_partition_specs",
+           "make_dp_ep_train_step", "make_dp_ep_batch_specs"]
+
+
+def partition_edges(batch: GraphsTuple, num_shards: int) -> GraphsTuple:
+    """Round the edge arrays up to a multiple of num_shards (padding edges
+    attach to the last node with mask False).  Shard-ready: shard_map splits the
+    leading edge axis evenly."""
+    e = batch.num_edges
+    target = ((e + num_shards - 1) // num_shards) * num_shards
+    if target == e:
+        return batch
+    pad = target - e
+
+    def pad_edges(arr, fill):
+        cfg = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, cfg, constant_values=fill)
+
+    return batch.replace(
+        edges=pad_edges(batch.edges, 0),
+        senders=pad_edges(batch.senders, batch.num_nodes - 1),
+        receivers=pad_edges(batch.receivers, batch.num_nodes - 1),
+        edge_mask=pad_edges(batch.edge_mask, False))
+
+
+def edge_partition_specs() -> GraphsTuple:
+    """PartitionSpecs for a GraphsTuple with edges sharded over ``ep``."""
+    return GraphsTuple(
+        nodes=P(), edges=P("ep"), senders=P("ep"), receivers=P("ep"),
+        graph_ids=P(), node_mask=P(), edge_mask=P("ep"), graph_mask=P(),
+        y=P())
+
+
+def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                       weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                       reg_p: int = 2, donate: bool = True):
+    """Jitted edge-partitioned train step: params replicated, edges sharded
+    over ``ep``.  The model must be built with ``edge_axis='ep'``."""
+
+    def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
+        rng = jax.random.fold_in(state.rng, state.step)
+        # identical rng on all ep shards — replicated node compute must agree
+
+        def loss_and_aux(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, training=True, dropout_rng=rng, mutable=["batch_stats"])
+            loss = loss_fn(out, batch)
+            if weight_decay > 0.0:
+                loss = loss + lr * weight_decay * phm_weight_regularization(
+                    params, p=reg_p)
+            if weight_decay2 > 0.0:
+                loss = loss + lr * weight_decay2 * (
+                    multiplication_rule_regularization(params, p=1))
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        # grads already identical across ep (aggregation collectives carry the
+        # cross-shard terms); average defensively to kill fp drift
+        grads = jax.lax.pmean(grads, "ep")
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(params=new_params, batch_stats=new_stats,
+                             opt_state=new_opt_state, step=state.step + 1), loss
+
+    sharded_step = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), edge_partition_specs(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_ep_batch_specs() -> GraphsTuple:
+    """PartitionSpecs for a device-stacked batch: leading axis over dp, edge
+    axis over ep."""
+    return GraphsTuple(
+        nodes=P("dp"), edges=P("dp", "ep"), senders=P("dp", "ep"),
+        receivers=P("dp", "ep"), graph_ids=P("dp"), node_mask=P("dp"),
+        edge_mask=P("dp", "ep"), graph_mask=P("dp"), y=P("dp"))
+
+
+def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                          reg_p: int = 2, donate: bool = True):
+    """Combined data + edge parallelism over a (dp, ep) mesh.
+
+    The batch is device-stacked along a leading dp axis; within each dp shard
+    the edge arrays are additionally sharded over ep.  The model must be built
+    with ``edge_axis='ep'``; gradients pmean over both axes.
+    """
+
+    def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # drop dp axis
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+
+        def loss_and_aux(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, training=True, dropout_rng=rng, mutable=["batch_stats"])
+            loss = loss_fn(out, batch)
+            if weight_decay > 0.0:
+                loss = loss + lr * weight_decay * phm_weight_regularization(
+                    params, p=reg_p)
+            if weight_decay2 > 0.0:
+                loss = loss + lr * weight_decay2 * (
+                    multiplication_rule_regularization(params, p=1))
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        grads = jax.lax.pmean(jax.lax.pmean(grads, "ep"), "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        new_stats = jax.lax.pmean(new_stats, "dp")
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(params=new_params, batch_stats=new_stats,
+                             opt_state=new_opt_state, step=state.step + 1), loss
+
+    batch_specs = make_dp_ep_batch_specs()
+
+    sharded_step = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())

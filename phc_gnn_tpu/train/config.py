@@ -1,0 +1,114 @@
+"""Structured experiment configuration mirroring the reference's ~40 argparse
+flags (reference: benchmarks/train_hiv.py:43-159; SURVEY.md section 5.6), as one
+dataclass with the same names and defaults, JSON-dumpable to params.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+__all__ = ["ExperimentConfig", "DATASET_DEFAULTS"]
+
+
+@dataclass
+class ExperimentConfig:
+    # bookkeeping
+    dataset: str = "zinc"          # zinc|hiv|pcba|ppa|mnist|cifar10|synthetic
+    save_dir: str = "experiments/run"
+    n_runs: int = 1
+    seed: int = 0
+    log_weights: bool = False
+
+    # device/data
+    batch_size: int = 128
+    eval_batch_size: Optional[int] = None
+    # padding bucket sizes (TPU-specific; None = auto from dataset stats)
+    max_nodes: Optional[int] = None
+    max_edges: Optional[int] = None
+
+    # model topology
+    model_type: str = "add"        # add | concat  (PHMSkipConnect*)
+    phm_dim: int = 4
+    learn_phm: bool = True
+    unique_phm: bool = False
+    input_embed_dim: int = 200     # atom_encoded_dim (flat)
+    mp_units: Sequence[int] = (200, 200)
+    d_units: Sequence[int] = (128, 64)   # downstream layers
+    mlp_mp: bool = True
+    sc_type: str = "first"
+    pooling: str = "softattention"
+    real_trafo: str = "linear"
+    naive_encoder: bool = False
+    target_dim: int = 1
+
+    # init
+    w_init: str = "phm"
+    c_init: str = "standard"
+
+    # regularization
+    dropout_mpnn: Sequence[float] = (0.1, 0.1)
+    dropout_dn: Sequence[float] = (0.2, 0.1)
+    same_dropout: bool = False
+    weightdecay: float = 0.0       # PHM weight reg coefficient
+    weightdecay2: float = 0.0      # rule reg coefficient
+    regularization: int = 2        # p-norm for weight reg
+    grad_clipping: float = 2.0
+    norm_mp: Optional[str] = "naive-batch-norm"
+    norm_dn: Optional[str] = "naive-batch-norm"
+
+    # aggregation
+    aggr_msg: str = "softmax"      # add|sum|mean|min|max|softmax|pna
+    aggr_node: str = "sum"
+    msg_encoder: str = "identity"
+    initial_beta: float = 1.0
+    learn_beta: bool = True
+
+    # optimization
+    epochs: int = 50
+    lr: float = 5e-4
+    patience: int = 10
+    factor: float = 0.75
+    min_lr: float = 1e-6
+    max_time_hours: float = 0.0    # 0 = unlimited (BGNN stopping rule)
+    scheduler_mode: str = "max"    # max (auc/ap/acc) | min (mae)
+    metric: str = "mae"            # rocauc|ap|acc|mae
+    loss: str = "l1"               # bce|ce|l1|mse
+
+    # activation
+    activation: str = "relu"
+
+    # parallelism
+    num_devices: int = 1           # data-parallel shards
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        return cls(**json.loads(text))
+
+
+# Canonical per-dataset defaults (reference: benchmarks/run_script_*_phm4.sh and
+# parser defaults per script; SURVEY.md section 2.3).
+DATASET_DEFAULTS = {
+    "zinc": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1,
+                 aggr_msg="sum", sc_type="last", input_embed_dim=200,
+                 mp_units=(200, 200, 200, 200)),
+    "hiv": dict(metric="rocauc", loss="bce", scheduler_mode="max", target_dim=1,
+                aggr_msg="softmax", input_embed_dim=200, mp_units=(200, 200),
+                weightdecay=0.1),
+    "pcba": dict(metric="ap", loss="bce", scheduler_mode="max", target_dim=128,
+                 aggr_msg="sum", phm_dim=2, batch_size=512,
+                 input_embed_dim=512,
+                 mp_units=(512, 512, 512, 512, 512, 512, 512), mlp_mp=False),
+    "ppa": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=37,
+                aggr_msg="softmax"),
+    "mnist": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
+                  aggr_msg="softmax"),
+    "cifar10": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
+                    aggr_msg="softmax"),
+    "synthetic": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1),
+}

@@ -1,0 +1,233 @@
+"""Training harness: epoch loops, evaluation, plateau scheduling, checkpointing,
+n_runs driver with mean+-std summary.
+
+Re-design of the reference's six ~640-line train scripts' shared machinery
+(train_hiv.py: train :165-218, test_validate :221-253, do_run :256-408,
+main :411-629) as one dataset-agnostic trainer over padded batch streams.
+Artifacts per run: scalars.jsonl (TB-equivalent scalars), val_test.json
+(best_val / test@bestval / test@last), orbax checkpoints + best export.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phc_gnn_tpu.graph.batch import GraphsTuple
+from phc_gnn_tpu.models.phc_gnn import PHCGNN
+from phc_gnn_tpu.train.checkpoint import CheckpointManager
+from phc_gnn_tpu.train.config import ExperimentConfig
+from phc_gnn_tpu.train.evaluators import get_evaluator
+from phc_gnn_tpu.train.loss import (
+    masked_bce_with_logits,
+    masked_cross_entropy,
+    masked_l1,
+    masked_mse,
+)
+from phc_gnn_tpu.train.optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
+from phc_gnn_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = ["Trainer", "build_model", "build_loss"]
+
+log = logging.getLogger("phc_gnn_tpu")
+
+
+def build_model(cfg: ExperimentConfig, atom_input_dims, bond_input_dims,
+                avg_deg=None) -> PHCGNN:
+    """Instantiate PHCGNN from an ExperimentConfig (reference main():566-579)."""
+    return PHCGNN(
+        phm_dim=cfg.phm_dim, learn_phm=cfg.learn_phm, unique_phm=cfg.unique_phm,
+        atom_input_dims=atom_input_dims, atom_encoded_dim=cfg.input_embed_dim,
+        bond_input_dims=bond_input_dims, naive_encoder=cfg.naive_encoder,
+        w_init=cfg.w_init, c_init=cfg.c_init, same_dropout=cfg.same_dropout,
+        mp_layers=tuple(cfg.mp_units), bias=True,
+        dropout_mpnn=tuple(cfg.dropout_mpnn), norm_mp=cfg.norm_mp,
+        add_self_loops=True, msg_aggr=cfg.aggr_msg, node_aggr=cfg.aggr_node,
+        mlp_mp=cfg.mlp_mp, pooling=cfg.pooling, activation=cfg.activation,
+        real_trafo=cfg.real_trafo, downstream_layers=tuple(cfg.d_units),
+        target_dim=cfg.target_dim, dropout_dn=tuple(cfg.dropout_dn),
+        norm_dn=cfg.norm_dn, msg_encoder=cfg.msg_encoder, sc_type=cfg.sc_type,
+        skip_connect=cfg.model_type, initial_beta=cfg.initial_beta,
+        learn_beta=cfg.learn_beta, avg_deg=avg_deg)
+
+
+def build_loss(cfg: ExperimentConfig) -> Callable:
+    if cfg.loss == "bce":
+        return lambda out, batch: masked_bce_with_logits(out, batch.y)
+    if cfg.loss == "l1":
+        return lambda out, batch: masked_l1(out, batch.y)
+    if cfg.loss == "mse":
+        return lambda out, batch: masked_mse(out, batch.y)
+    if cfg.loss == "ce":
+        return lambda out, batch: masked_cross_entropy(
+            out, batch.y[:, 0].astype(jnp.int32), batch.graph_mask)
+    raise ValueError(f"unknown loss {cfg.loss!r}")
+
+
+class Trainer:
+    """One experiment = n_runs independent (re-seeded) trainings of one model."""
+
+    def __init__(self, cfg: ExperimentConfig, model: PHCGNN,
+                 train_batches: Callable[[int], Iterable[GraphsTuple]],
+                 valid_batches: Callable[[], Iterable[GraphsTuple]],
+                 test_batches: Optional[Callable[[], Iterable[GraphsTuple]]] = None):
+        """batch providers are callables returning fresh iterators
+        (train takes an epoch seed for shuffling)."""
+        self.cfg = cfg
+        self.model = model
+        self.train_batches = train_batches
+        self.valid_batches = valid_batches
+        self.test_batches = test_batches
+        self.evaluator = get_evaluator(cfg.metric)
+        self.loss_fn = build_loss(cfg)
+        self.tx = make_optimizer(cfg.lr, cfg.grad_clipping)
+        self.train_step = make_train_step(
+            model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
+            cfg.regularization)
+        self.eval_step = make_eval_step(model)
+
+    # -- evaluation ---------------------------------------------------------
+    def evaluate(self, state: TrainState, batches: Iterable[GraphsTuple]):
+        y_true, y_pred, losses, weights = [], [], [], []
+        for batch in batches:
+            out = self.eval_step(state, batch)
+            mask = np.asarray(batch.graph_mask)
+            y_true.append(np.asarray(batch.y)[mask])
+            y_pred.append(np.asarray(out)[mask])
+            losses.append(float(self.loss_fn(out, batch)))
+            weights.append(mask.sum())
+        y_true = np.concatenate(y_true)
+        y_pred = np.concatenate(y_pred)
+        metric = self.evaluator(y_true, y_pred)
+        loss = float(np.average(losses, weights=weights))
+        return {"loss": loss, self.cfg.metric: metric}
+
+    # -- single run ---------------------------------------------------------
+    def do_run(self, run_idx: int, resume: bool = False) -> dict:
+        cfg = self.cfg
+        run_dir = os.path.join(cfg.save_dir, f"run_{run_idx}")
+        os.makedirs(run_dir, exist_ok=True)
+        seed = cfg.seed + run_idx - 1
+        rng = jax.random.key(seed)
+        sample = next(iter(self.train_batches(seed)))
+        state = create_train_state(self.model, self.tx, sample, rng)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        log.info("run %d: %d params, seed %d", run_idx, n_params, seed)
+
+        ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+        scheduler = ReduceLROnPlateau(
+            lr=cfg.lr, mode=cfg.scheduler_mode, factor=cfg.factor,
+            patience=cfg.patience, min_lr=cfg.min_lr)
+        start_epoch = 0
+        if resume and ckpt.latest_step() is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            state = ckpt.restore(abstract)
+            start_epoch = int(ckpt.latest_step())
+            log.info("resumed run %d at epoch %d", run_idx, start_epoch)
+
+        mode = cfg.scheduler_mode
+        best_val = -np.inf if mode == "max" else np.inf
+        best_state = state
+        scalars_path = os.path.join(run_dir, "scalars.jsonl")
+        t_start = time.time()
+        lr = scheduler.lr
+        history = {"lr": [], "train_loss": [], "train_metric": [],
+                   "valid_loss": [], "valid_metric": []}
+
+        for epoch in range(start_epoch, cfg.epochs):
+            # train epoch
+            ep_loss, n_graphs = 0.0, 0
+            y_true, y_pred = [], []
+            for batch in self.train_batches(seed * 10007 + epoch):
+                state, loss, out = self.train_step(state, batch,
+                                                   jnp.asarray(lr, jnp.float32))
+                g = int(np.asarray(batch.graph_mask).sum())
+                ep_loss += float(loss) * g
+                n_graphs += g
+                mask = np.asarray(batch.graph_mask)
+                y_true.append(np.asarray(batch.y)[mask])
+                y_pred.append(np.asarray(out)[mask])
+            train_loss = ep_loss / max(n_graphs, 1)
+            train_metric = self.evaluator(np.concatenate(y_true),
+                                          np.concatenate(y_pred))
+            val = self.evaluate(state, self.valid_batches())
+            val_metric = val[cfg.metric]
+
+            improved = (val_metric > best_val) if mode == "max" else (val_metric < best_val)
+            if improved and np.isfinite(val_metric):
+                best_val = val_metric
+                best_state = state
+                ckpt.export_best(jax.device_get(state))
+            lr = scheduler.step(val_metric)
+            ckpt.save(epoch + 1, jax.device_get(state))
+
+            row = {"epoch": epoch, "lr": lr, "train_loss": train_loss,
+                   "train_metric": train_metric, "valid_loss": val["loss"],
+                   "valid_metric": val_metric,
+                   "wall_s": round(time.time() - t_start, 1)}
+            with open(scalars_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            for k in history:
+                history[k].append(row[{"lr": "lr", "train_loss": "train_loss",
+                                       "train_metric": "train_metric",
+                                       "valid_loss": "valid_loss",
+                                       "valid_metric": "valid_metric"}[k]])
+            log.info("run %d epoch %d: train %.4f/%.4f valid %.4f/%.4f lr %.2e",
+                     run_idx, epoch, train_loss, train_metric, val["loss"],
+                     val_metric, lr)
+
+            # Benchmarking-GNNs stopping rules (train_zinc.py:366-381)
+            if lr < cfg.min_lr * (1 + 1e-9) and cfg.scheduler_mode == "min":
+                log.info("stopping: lr below min_lr")
+                break
+            if cfg.max_time_hours and (time.time() - t_start) > cfg.max_time_hours * 3600:
+                log.info("stopping: max_time reached")
+                break
+
+        if not np.isfinite(best_val):
+            # no epoch ran (e.g. resume at completion): score the restored state
+            val = self.evaluate(state, self.valid_batches())
+            best_val, best_state = val[cfg.metric], state
+
+        # final test at best-val and last state
+        result = {"best_val": float(best_val)}
+        if self.test_batches is not None:
+            test_best = self.evaluate(best_state, self.test_batches())
+            test_last = self.evaluate(state, self.test_batches())
+            result["test_bestval"] = float(test_best[cfg.metric])
+            result["test_last"] = float(test_last[cfg.metric])
+        with open(os.path.join(run_dir, "val_test.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        np.save(os.path.join(run_dir, "arrays.npy"), history, allow_pickle=True)
+        ckpt.close()
+        return result
+
+    # -- n_runs driver ------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.save_dir, "params.json"), "w") as f:
+            f.write(self.cfg.to_json())
+        results: List[dict] = []
+        for i in range(1, self.cfg.n_runs + 1):
+            results.append(self.do_run(i, resume=resume))
+        summary = {}
+        for key in results[0]:
+            vals = [r[key] for r in results]
+            summary[key] = {"mean": float(np.mean(vals)),
+                            "std": float(np.std(vals)), "runs": vals}
+        with open(os.path.join(self.cfg.save_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        return summary

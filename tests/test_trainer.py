@@ -1,0 +1,155 @@
+"""L5 harness tests: losses, evaluators, plateau scheduler, end-to-end training
+on synthetic ZINC-like data with checkpoint/resume."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS, synthetic_batch
+from phc_gnn_tpu.train import (
+    ExperimentConfig,
+    ReduceLROnPlateau,
+    Trainer,
+    build_model,
+    get_evaluator,
+)
+from phc_gnn_tpu.train.loss import (
+    masked_bce_with_logits,
+    masked_cross_entropy,
+    masked_l1,
+)
+
+
+# ---------------- losses ----------------
+
+def test_masked_bce_matches_manual():
+    logits = jnp.asarray([[0.5, -1.0], [2.0, 0.0]])
+    targets = jnp.asarray([[1.0, np.nan], [0.0, 1.0]])
+    got = float(masked_bce_with_logits(logits, targets))
+    def bce(x, t):
+        return max(x, 0) - x * t + np.log1p(np.exp(-abs(x)))
+    want = (bce(0.5, 1) + bce(2.0, 0) + bce(0.0, 1)) / 3
+    assert abs(got - want) < 1e-6
+
+
+def test_masked_l1_ignores_nan():
+    logits = jnp.asarray([[1.0], [2.0], [5.0]])
+    targets = jnp.asarray([[0.0], [np.nan], [4.0]])
+    assert abs(float(masked_l1(logits, targets)) - 1.0) < 1e-6
+
+
+def test_masked_ce():
+    logits = jnp.asarray([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    labels = jnp.asarray([0, 0])
+    mask = jnp.asarray([True, False])
+    got = float(masked_cross_entropy(logits, labels, mask))
+    assert got < 1e-3  # only the correct, masked-in row counts
+
+
+# ---------------- evaluators ----------------
+
+def test_rocauc_perfect_and_random():
+    ev = get_evaluator("rocauc")
+    y = np.array([0, 0, 1, 1], float)
+    assert ev(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert ev(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert abs(ev(y, np.array([0.5, 0.5, 0.5, 0.5])) - 0.5) < 1e-9
+
+
+def test_rocauc_multitask_with_nans():
+    ev = get_evaluator("rocauc")
+    y = np.array([[0, np.nan], [1, np.nan], [1, np.nan], [0, np.nan]])
+    p = np.array([[0.2, 0.5], [0.7, 0.5], [0.9, 0.5], [0.1, 0.5]])
+    assert ev(y, p) == 1.0  # column 2 skipped entirely
+
+
+def test_ap_simple():
+    ev = get_evaluator("ap")
+    y = np.array([1, 0, 1, 0], float)
+    p = np.array([0.9, 0.8, 0.7, 0.1])
+    # hits at rank 1 (prec 1.0) and rank 3 (prec 2/3)
+    assert abs(ev(y, p) - (1.0 + 2 / 3) / 2) < 1e-9
+
+
+def test_accuracy_and_mae():
+    assert get_evaluator("acc")(np.array([0, 1, 2]),
+                                np.eye(3)[[0, 1, 0]]) == pytest.approx(2 / 3)
+    assert get_evaluator("mae")(np.array([1.0, 2.0]),
+                                np.array([2.0, 2.0])) == pytest.approx(0.5)
+
+
+# ---------------- scheduler ----------------
+
+def test_plateau_scheduler_max_mode():
+    s = ReduceLROnPlateau(lr=1.0, mode="max", factor=0.5, patience=2)
+    assert s.step(0.5) == 1.0       # first call sets best
+    assert s.step(0.6) == 1.0       # improved
+    for _ in range(2):
+        assert s.step(0.4) == 1.0   # within patience
+    assert s.step(0.4) == 0.5       # patience exceeded -> reduce
+    s2 = ReduceLROnPlateau(lr=1e-6, mode="min", factor=0.5, patience=0,
+                           min_lr=1e-6)
+    s2.step(1.0)
+    assert s2.step(2.0) == 1e-6     # clamped at min_lr
+
+
+# ---------------- end-to-end training ----------------
+
+def _providers(n_train=6, n_valid=2, bs=16):
+    def train_batches(seed):
+        return [synthetic_batch(batch_size=bs, num_nodes=512, num_edges=1024,
+                                seed=1000 + (seed + i) % n_train)
+                for i in range(n_train)]
+
+    def valid_batches():
+        return [synthetic_batch(batch_size=bs, num_nodes=512, num_edges=1024,
+                                seed=77 + i) for i in range(n_valid)]
+
+    return train_batches, valid_batches
+
+
+def test_trainer_end_to_end(tmp_path):
+    """Minimum end-to-end slice (SURVEY.md section 7 step 4): ZINC-like regression,
+    L1 loss, Adam, jitted steps; loss must decrease and artifacts appear."""
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=4,
+        lr=3e-3, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=32, mp_units=(32, 32), d_units=(32, 16),
+        dropout_mpnn=(0.0, 0.0), dropout_dn=(0.0, 0.0), aggr_msg="softmax",
+        mlp_mp=True, target_dim=1, batch_size=16, weightdecay=0.01,
+        patience=5)
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    train_b, valid_b = _providers()
+    trainer = Trainer(cfg, model, train_b, valid_b, test_batches=valid_b)
+    summary = trainer.run()
+
+    assert "best_val" in summary and "test_bestval" in summary
+    run_dir = tmp_path / "exp" / "run_1"
+    rows = [json.loads(l) for l in open(run_dir / "scalars.jsonl")]
+    assert len(rows) == 4
+    # training loss decreases over epochs
+    assert rows[-1]["train_loss"] < rows[0]["train_loss"]
+    assert np.isfinite(summary["best_val"]["mean"])
+    assert (run_dir / "val_test.json").exists()
+    assert (tmp_path / "exp" / "params.json").exists()
+    assert (run_dir / "ckpt" / "best").exists()
+
+
+def test_trainer_resume(tmp_path):
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=2,
+        lr=1e-3, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=16, mp_units=(16, 16), d_units=(16,),
+        dropout_mpnn=(0.0, 0.0), dropout_dn=(0.0,), aggr_msg="sum",
+        mlp_mp=True, target_dim=1, batch_size=8)
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    train_b, valid_b = _providers(n_train=2, n_valid=1, bs=8)
+    trainer = Trainer(cfg, model, train_b, valid_b)
+    trainer.do_run(1)
+    # resume: epochs already done -> no extra epochs, state restores cleanly
+    res = trainer.do_run(1, resume=True)
+    assert np.isfinite(res["best_val"])
