@@ -1,0 +1,224 @@
+"""Shared CLI harness for the six benchmark training scripts.
+
+Mirrors the reference's per-script argparse surface (~40 flags,
+benchmarks/train_hiv.py:43-159) and do_run/main flow (:256-629) on top of the
+phc_gnn_tpu Trainer; dataset loading goes through the dependency-free readers
+(data/datasets.py) pointed at pre-downloaded data via --data_root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from phc_gnn_tpu.data import (
+    ATOM_FEATURE_DIMS,
+    BOND_FEATURE_DIMS,
+    ZINC_ATOM_DIMS,
+    ZINC_BOND_DIMS,
+    PaddedLoader,
+    add_zeros,
+    avg_deg_from_histogram,
+    compute_bucket_spec,
+    concat_x_pos,
+    dataset_stats,
+    degree_histogram,
+    extract_node_feature,
+    load_npz_dataset,
+    load_ogb_graphproppred,
+    remove_isolated_nodes,
+)
+from phc_gnn_tpu.data.features import (
+    CIFAR10_ATOM_DIM,
+    CIFAR10_BOND_DIM,
+    MNIST_ATOM_DIM,
+    MNIST_BOND_DIM,
+    PPA_EDGE_DIM,
+    PPA_NUM_CLASSES,
+)
+from phc_gnn_tpu.train import DATASET_DEFAULTS, ExperimentConfig, Trainer, build_model
+from phc_gnn_tpu.utils.logging import set_logging
+
+log = logging.getLogger("phc_gnn_tpu")
+
+
+def str2bool(v) -> bool:
+    """(reference: benchmarks/utils.py:29-35)"""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def _int_list(s: str):
+    return tuple(int(x) for x in str(s).split(",") if x != "")
+
+
+def _float_list(s: str):
+    return tuple(float(x) for x in str(s).split(",") if x != "")
+
+
+def get_parser(dataset: str) -> argparse.ArgumentParser:
+    d = DATASET_DEFAULTS[dataset]
+    cfg = ExperimentConfig(dataset=dataset, **d)
+    p = argparse.ArgumentParser(description=f"PHC-GNN-TPU {dataset} benchmark")
+    # data / bookkeeping
+    p.add_argument("--data_root", type=str, default=os.environ.get(
+        "PHC_DATA_ROOT", "data"))
+    p.add_argument("--save_dir", type=str, default=f"experiments/{dataset}")
+    p.add_argument("--n_runs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_weights", type=str2bool, default=False)
+    p.add_argument("--batch_size", type=int, default=cfg.batch_size)
+    p.add_argument("--eval_batch_size", type=int, default=None)
+    p.add_argument("--max_nodes", type=int, default=None)
+    p.add_argument("--max_edges", type=int, default=None)
+    # model topology
+    p.add_argument("--type", dest="model_type", type=str,
+                   default=cfg.model_type, choices=["add", "concat"])
+    p.add_argument("--phm_dim", type=int, default=cfg.phm_dim)
+    p.add_argument("--learn_phm", type=str2bool, default=cfg.learn_phm)
+    p.add_argument("--unique_phm", type=str2bool, default=cfg.unique_phm)
+    p.add_argument("--input_embed_dim", type=int, default=cfg.input_embed_dim)
+    p.add_argument("--mp_units", type=_int_list, default=tuple(cfg.mp_units))
+    p.add_argument("--d_units", type=_int_list, default=tuple(cfg.d_units))
+    p.add_argument("--mlp_mp", type=str2bool, default=cfg.mlp_mp)
+    p.add_argument("--sc_type", type=str, default=cfg.sc_type,
+                   choices=["first", "last"])
+    p.add_argument("--pooling", type=str, default=cfg.pooling,
+                   choices=["globalsum", "softattention"])
+    p.add_argument("--real_trafo", type=str, default=cfg.real_trafo,
+                   choices=["linear", "sum", "mean", "norm"])
+    p.add_argument("--naive_encoder", type=str2bool, default=cfg.naive_encoder)
+    # init
+    p.add_argument("--w_init", type=str, default=cfg.w_init,
+                   choices=["phm", "glorot-normal", "glorot-uniform"])
+    p.add_argument("--c_init", type=str, default=cfg.c_init,
+                   choices=["standard", "random"])
+    # regularization
+    p.add_argument("--dropout_mpnn", type=_float_list,
+                   default=tuple(cfg.dropout_mpnn))
+    p.add_argument("--dropout_dn", type=_float_list,
+                   default=tuple(cfg.dropout_dn))
+    p.add_argument("--same_dropout", type=str2bool, default=cfg.same_dropout)
+    p.add_argument("--weightdecay", type=float, default=cfg.weightdecay)
+    p.add_argument("--weightdecay2", type=float, default=cfg.weightdecay2)
+    p.add_argument("--regularization", type=int, default=cfg.regularization,
+                   choices=[1, 2])
+    p.add_argument("--grad_clipping", type=float, default=cfg.grad_clipping)
+    p.add_argument("--norm_mp", type=str, default=cfg.norm_mp or "None")
+    p.add_argument("--norm_dn", type=str, default=cfg.norm_dn or "None")
+    # aggregation
+    p.add_argument("--aggr_msg", type=str, default=cfg.aggr_msg,
+                   choices=["add", "sum", "mean", "min", "max", "softmax", "pna"])
+    p.add_argument("--aggr_node", type=str, default=cfg.aggr_node)
+    p.add_argument("--msg_encoder", type=str, default=cfg.msg_encoder)
+    p.add_argument("--initial_beta", type=float, default=cfg.initial_beta)
+    p.add_argument("--learn_beta", type=str2bool, default=cfg.learn_beta)
+    # optimization
+    p.add_argument("--epochs", type=int, default=cfg.epochs)
+    p.add_argument("--lr", type=float, default=cfg.lr)
+    p.add_argument("--patience", type=int, default=cfg.patience)
+    p.add_argument("--factor", type=float, default=cfg.factor)
+    p.add_argument("--min_lr", type=float, default=cfg.min_lr)
+    p.add_argument("--max_time", dest="max_time_hours", type=float,
+                   default=cfg.max_time_hours)
+    # activation
+    p.add_argument("--activation", type=str, default=cfg.activation,
+                   choices=["relu", "lrelu", "elu", "selu", "swish"])
+    return p
+
+
+def config_from_args(dataset: str, args) -> ExperimentConfig:
+    d = dict(DATASET_DEFAULTS[dataset])
+    cfg = ExperimentConfig(dataset=dataset, **d)
+    for f in vars(args):
+        if hasattr(cfg, f) and getattr(args, f) is not None:
+            setattr(cfg, f, getattr(args, f))
+    cfg.norm_mp = None if cfg.norm_mp in ("None", None) else cfg.norm_mp
+    cfg.norm_dn = None if cfg.norm_dn in ("None", None) else cfg.norm_dn
+    return cfg
+
+
+# ---------------- dataset wiring ----------------
+
+_OGB_DIRS = {"hiv": "ogbg_molhiv", "pcba": "ogbg_molpcba", "ppa": "ogbg_ppa"}
+_OGB_SPLITS = {"hiv": "scaffold", "pcba": "scaffold", "ppa": "species"}
+
+
+def load_splits(dataset: str, data_root: str, ppa_mode: str = "zeros"):
+    """Return (splits dict, atom_input_dims, bond_input_dims, transform)."""
+    if dataset in _OGB_DIRS:
+        root = os.path.join(data_root, _OGB_DIRS[dataset])
+        splits = load_ogb_graphproppred(root, _OGB_SPLITS[dataset])
+        if dataset == "ppa":
+            tf = (add_zeros if ppa_mode == "zeros"
+                  else functools.partial(extract_node_feature, reduce="add"))
+            splits = {k: [tf(g) for g in v] for k, v in splits.items()}
+            atom_dims = [1] if ppa_mode == "zeros" else PPA_EDGE_DIM
+            return splits, atom_dims, PPA_EDGE_DIM, remove_isolated_nodes
+        return splits, ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS, remove_isolated_nodes
+    if dataset == "zinc":
+        splits = load_npz_dataset(data_root, "zinc")
+        return splits, ZINC_ATOM_DIMS, ZINC_BOND_DIMS, None
+    if dataset in ("mnist", "cifar10"):
+        splits = load_npz_dataset(data_root, dataset)
+        splits = {k: [concat_x_pos(g) for g in v] for k, v in splits.items()}
+        atom = MNIST_ATOM_DIM if dataset == "mnist" else CIFAR10_ATOM_DIM
+        bond = MNIST_BOND_DIM if dataset == "mnist" else CIFAR10_BOND_DIM
+        return splits, atom, bond, None
+    raise ValueError(f"unknown dataset {dataset!r}")
+
+
+def run_benchmark(dataset: str, argv=None):
+    args = get_parser(dataset).parse_args(argv)
+    cfg = config_from_args(dataset, args)
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    set_logging(os.path.join(cfg.save_dir, "run.log"))
+    log.info("config: %s", cfg.to_json())
+
+    splits, atom_dims, bond_dims, transform = load_splits(
+        dataset, args.data_root)
+    log.info("train stats: %s", dataset_stats(splits["train"]))
+
+    avg_deg = None
+    if cfg.aggr_msg == "pna":
+        avg_deg = avg_deg_from_histogram(degree_histogram(splits["train"]))
+        log.info("pna avg_deg: %s", avg_deg)
+
+    bucket = compute_bucket_spec(splits["train"], cfg.batch_size,
+                                 target_dim=cfg.target_dim)
+    if cfg.max_nodes:
+        bucket.num_nodes = cfg.max_nodes
+    if cfg.max_edges:
+        bucket.num_edges = cfg.max_edges
+    log.info("bucket: %s", bucket)
+    eval_bs = cfg.eval_batch_size or cfg.batch_size
+    eval_bucket = compute_bucket_spec(
+        splits["valid"] + splits["test"], eval_bs, target_dim=cfg.target_dim)
+
+    def train_batches(seed):
+        return PaddedLoader(splits["train"], bucket, shuffle=True, seed=seed,
+                            transform=transform)
+
+    def valid_batches():
+        return PaddedLoader(splits["valid"], eval_bucket, transform=transform)
+
+    def test_batches():
+        return PaddedLoader(splits["test"], eval_bucket, transform=transform)
+
+    model = build_model(cfg, atom_dims, bond_dims, avg_deg=avg_deg)
+    trainer = Trainer(cfg, model, train_batches, valid_batches, test_batches)
+    summary = trainer.run()
+    log.info("summary: %s", summary)
+    return summary

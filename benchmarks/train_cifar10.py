@@ -1,0 +1,15 @@
+"""Train PHC-GNN-TPU on cifar10 (reference: benchmarks/train_cifar10.py).
+
+Usage: python benchmarks/train_cifar10.py --data_root <dir> [flags]
+Run with --help for the full flag surface.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks.common import run_benchmark
+
+if __name__ == "__main__":
+    run_benchmark("cifar10")

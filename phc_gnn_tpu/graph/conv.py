@@ -19,7 +19,7 @@ Conv variants (facade dispatch mirrors reference :456-518):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -69,6 +69,7 @@ class PHMConv(nn.Module):
     msg_encoder: str = "identity"
     shared_rule: bool = False
     edge_axis: Optional[str] = None  # mesh axis of the edge partition
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -79,7 +80,8 @@ class PHMConv(nn.Module):
                                       axis_name=self.edge_axis)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
-                              self.learn_phm, self.shared_rule, name="transform")
+                              self.learn_phm, self.shared_rule, self.dtype,
+                              name="transform")
         if self.same_dim:
             out = transform(aggr, phm_rule)
             if self.add_self_loops:
@@ -109,6 +111,7 @@ class PHMGINEConv(nn.Module):
     msg_encoder: str = "identity"
     shared_rule: bool = False
     edge_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -122,8 +125,8 @@ class PHMGINEConv(nn.Module):
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
-                      shared_rule=self.shared_rule, name="transform")(
-            aggr, phm_rule, training=training)
+                      shared_rule=self.shared_rule, dtype=self.dtype,
+                      name="transform")(aggr, phm_rule, training=training)
 
 
 class PHMConvSoftmax(nn.Module):
@@ -144,6 +147,7 @@ class PHMConvSoftmax(nn.Module):
     learn_beta: bool = True
     shared_rule: bool = False
     edge_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -157,7 +161,8 @@ class PHMConvSoftmax(nn.Module):
                                  axis_name=self.edge_axis)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
-                              self.learn_phm, self.shared_rule, name="transform")
+                              self.learn_phm, self.shared_rule, self.dtype,
+                              name="transform")
         if self.same_dim:
             out = transform(aggr, phm_rule)
             if self.add_self_loops:
@@ -188,6 +193,7 @@ class PHMGINEConvSoftmax(nn.Module):
     learn_beta: bool = True
     shared_rule: bool = False
     edge_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -204,8 +210,8 @@ class PHMGINEConvSoftmax(nn.Module):
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
-                      shared_rule=self.shared_rule, name="transform")(
-            aggr, phm_rule, training=training)
+                      shared_rule=self.shared_rule, dtype=self.dtype,
+                      name="transform")(aggr, phm_rule, training=training)
 
 
 class PHMPNAConvSimple(nn.Module):
@@ -230,6 +236,7 @@ class PHMPNAConvSimple(nn.Module):
     msg_encoder: str = "relu"
     shared_rule: bool = False
     edge_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
@@ -248,7 +255,7 @@ class PHMPNAConvSimple(nn.Module):
         in_dim = len(self.aggregators) * len(self.scalers) * self.in_features
         out = PHMLinear(in_dim, self.out_features, self.phm_dim, self.bias,
                         self.w_init, self.c_init, self.learn_phm,
-                        self.shared_rule, name="post_0")(out, phm_rule)
+                        self.shared_rule, self.dtype, name="post_0")(out, phm_rule)
         for i in range(1, self.post_layers):
             if self.norm not in (None, "None"):
                 out = PHMNorm(num_features=self.out_features, phm_dim=self.phm_dim,
@@ -257,7 +264,8 @@ class PHMPNAConvSimple(nn.Module):
             out = get_activation(self.activation)(out)
             out = PHMLinear(self.out_features, self.out_features, self.phm_dim,
                             self.bias, self.w_init, self.c_init, self.learn_phm,
-                            self.shared_rule, name=f"post_{i}")(out, phm_rule)
+                            self.shared_rule, self.dtype,
+                            name=f"post_{i}")(out, phm_rule)
         return out
 
 
@@ -283,6 +291,7 @@ class PHMMessagePassing(nn.Module):
     learn_beta: bool = True
     shared_rule: bool = False
     edge_axis: Optional[str] = None
+    dtype: Any = None
     # pna extras
     avg_deg: Optional[Dict[str, float]] = None
     aggregators: Sequence[str] = ("mean", "min", "max", "std")
@@ -296,7 +305,8 @@ class PHMMessagePassing(nn.Module):
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
                       bias=self.bias, w_init=self.w_init, c_init=self.c_init,
-                      shared_rule=self.shared_rule, edge_axis=self.edge_axis)
+                      shared_rule=self.shared_rule, edge_axis=self.edge_axis,
+                      dtype=self.dtype)
         if aggr == "pna":
             conv = PHMPNAConvSimple(
                 avg_deg=self.avg_deg, activation=self.activation, norm=self.norm,

@@ -39,6 +39,7 @@ class PHMSoftAttentionPooling(nn.Module):
     c_init: str = "standard"
     real_trafo: str = "linear"
     shared_rule: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int, node_mask=None,
@@ -46,7 +47,7 @@ class PHMSoftAttentionPooling(nn.Module):
         n = self.phm_dim
         gate = PHMLinear(self.embed_dim, self.embed_dim, n, self.bias,
                          self.w_init, self.c_init, self.learn_phm,
-                         self.shared_rule, name="linear")(x, phm_rule)
+                         self.shared_rule, self.dtype, name="linear")(x, phm_rule)
         gate = RealTransformer(self.real_trafo, self.embed_dim, n, bias=True,
                                name="real_trafo")(gate)
         gate = nn.sigmoid(gate)  # [N, d]

@@ -75,6 +75,8 @@ class PHCGNN(nn.Module):
     initial_beta: float = 1.0
     learn_beta: bool = True
     edge_axis: Optional[str] = None  # mesh axis for edge partitioning
+    compute_dtype: Optional[object] = None  # e.g. jnp.bfloat16 (params stay f32)
+    remat: bool = False  # rematerialize each conv layer (memory <-> FLOPs)
     # pna extras
     avg_deg: Optional[Dict[str, float]] = None
     pna_aggregators: Sequence[str] = ("mean", "min", "max", "std")
@@ -138,7 +140,7 @@ class PHCGNN(nn.Module):
                 same_dim=(self.skip_connect == "add"),
                 msg_encoder=self.msg_encoder, initial_beta=self.initial_beta,
                 learn_beta=self.learn_beta, shared_rule=shared,
-                edge_axis=self.edge_axis,
+                edge_axis=self.edge_axis, dtype=self.compute_dtype,
                 avg_deg=self.avg_deg, aggregators=self.pna_aggregators,
                 scalers=self.pna_scalers, post_layers=self.pna_post_layers,
                 name=f"conv_{i}")
@@ -161,7 +163,8 @@ class PHCGNN(nn.Module):
             self.pool = PHMSoftAttentionPooling(
                 embed_dim=final_dim, phm_dim=n, learn_phm=self.learn_phm,
                 bias=self.bias, w_init=self.w_init, c_init=self.c_init,
-                real_trafo=self.real_trafo, shared_rule=shared, name="pooling")
+                real_trafo=self.real_trafo, shared_rule=shared,
+                dtype=self.compute_dtype, name="pooling")
 
         self.downstream = PHMDownstreamNet(
             in_features=final_dim, hidden_layers=tuple(self.downstream_layers),
@@ -169,7 +172,8 @@ class PHCGNN(nn.Module):
             bias=self.bias, norm=self.norm_dn, w_init=self.w_init,
             c_init=self.c_init, dropout=self.dropout_dn,
             learn_phm=self.learn_phm, same_dropout=self.same_dropout,
-            real_trafo=self.real_trafo, shared_rule=shared, name="downstream")
+            real_trafo=self.real_trafo, shared_rule=shared,
+            dtype=self.compute_dtype, name="downstream")
 
     def __call__(self, graphs: GraphsTuple, training: bool = False,
                  dropout_rng: Optional[jax.Array] = None) -> jax.Array:
@@ -181,6 +185,8 @@ class PHCGNN(nn.Module):
         x_raw, e_raw = graphs.nodes, graphs.edges
         atom = self.atomencoder(x_raw)  # [N, n, d]
         atom = atom.reshape(atom.shape[0], -1)  # flat [N, n*d]
+        if self.compute_dtype is not None:
+            atom = atom.astype(self.compute_dtype)
 
         act = get_activation(self.activation)
         num_layers = len(self.mp_layers)
@@ -195,8 +201,17 @@ class PHCGNN(nn.Module):
                 skip = atom  # concat always re-injects the embedding
             edge_emb = self.bondencoders[i](e_raw)
             edge_emb = edge_emb.reshape(edge_emb.shape[0], -1)
-            h = self.convs[i](x, graphs.senders, graphs.receivers, edge_emb,
-                              graphs.edge_mask, rule, training=training)
+            if self.compute_dtype is not None:
+                edge_emb = edge_emb.astype(self.compute_dtype)
+            if self.remat:
+                h = nn.remat(
+                    lambda m, *a: m(*a, training=training))(
+                    self.convs[i], x, graphs.senders, graphs.receivers,
+                    edge_emb, graphs.edge_mask, rule)
+            else:
+                h = self.convs[i](x, graphs.senders, graphs.receivers,
+                                  edge_emb, graphs.edge_mask, rule,
+                                  training=training)
             if self.norms[i] is not None:
                 h = self.norms[i](h, training=training)
             h = act(h)

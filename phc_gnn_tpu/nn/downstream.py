@@ -11,6 +11,7 @@ from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from phc_gnn_tpu.nn.activations import get_activation
 from phc_gnn_tpu.nn.dropout import phm_dropout
@@ -38,6 +39,7 @@ class PHMDownstreamNet(nn.Module):
     same_dropout: bool = False
     real_trafo: str = "linear"
     shared_rule: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, phm_rule=None, training: bool = False,
@@ -54,7 +56,7 @@ class PHMDownstreamNet(nn.Module):
         for i in range(len(sizes) - 1):
             x = PHMLinear(sizes[i], sizes[i + 1], n, self.bias, self.w_init,
                           self.c_init, self.learn_phm, self.shared_rule,
-                          name=f"affine_{i}")(x, phm_rule)
+                          self.dtype, name=f"affine_{i}")(x, phm_rule)
             if i < len(sizes) - 2:  # hidden layers only, not the output layer
                 if self.norm not in (None, "None"):
                     x = PHMNorm(num_features=sizes[i + 1], phm_dim=n,
@@ -65,4 +67,5 @@ class PHMDownstreamNet(nn.Module):
                     x = phm_dropout(rngs[i], x, drops[i], n, training=True,
                                     same=self.same_dropout)
         return RealTransformer(self.real_trafo, n * self.out_features, n,
-                               bias=True, name="real_trafo")(x)
+                               bias=True, name="real_trafo")(
+            x.astype(jnp.float32) if self.dtype is not None else x)

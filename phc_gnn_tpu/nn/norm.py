@@ -38,6 +38,8 @@ class _BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         feat_shape = x.shape[1:]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(feat_shape, jnp.float32))
@@ -56,7 +58,7 @@ class _BatchNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, feat_shape)
             bias = self.param("bias", nn.initializers.zeros, feat_shape)
             y = y * scale + bias
-        return y
+        return y.astype(in_dtype)
 
 
 class PHMNorm(nn.Module):

@@ -89,9 +89,10 @@ def _kernel(block_tile_ref, block_first_ref, recv_ref, msgs_ref, out_ref):
     b = pl.program_id(0)
     tn = out_ref.shape[0]
     be = msgs_ref.shape[0]
-    # one-hot S: [TN, BE]
+    # one-hot S: [TN, BE]; recv block holds 8 rows (TPU sublane tiling), row
+    # b % 8 belongs to this grid step
     rows = jax.lax.broadcasted_iota(jnp.int32, (tn, be), 0)
-    onehot = (rows == recv_ref[0, :][None, :]).astype(msgs_ref.dtype)
+    onehot = (rows == recv_ref[b % 8, :][None, :]).astype(msgs_ref.dtype)
     contrib = jax.lax.dot_general(
         onehot, msgs_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -135,7 +136,8 @@ def _segment_sum_call(msgs, edge_perm, recv_local, block_tile, block_first,
         num_scalar_prefetch=2,  # block_tile, block_first
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, block_edges), lambda b, bt, bf: (b, 0)),
+            # 8-row blocks to satisfy TPU sublane tiling; kernel picks b % 8
+            pl.BlockSpec((8, block_edges), lambda b, bt, bf: (b // 8, 0)),
             pl.BlockSpec((block_edges, d_pad), lambda b, bt, bf: (b, 0)),
         ],
         out_specs=pl.BlockSpec((tile_nodes, d_pad),

@@ -8,7 +8,14 @@ from phc_gnn_tpu.parallel.dp import (
 )
 from phc_gnn_tpu.parallel.edge_partition import (
     edge_partition_specs,
+    make_dp_ep_batch_specs,
     make_dp_ep_train_step,
     make_ep_train_step,
     partition_edges,
+)
+from phc_gnn_tpu.parallel.multihost import (
+    initialize,
+    is_primary,
+    make_multihost_mesh,
+    sync_hosts,
 )

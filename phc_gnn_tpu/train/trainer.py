@@ -138,12 +138,15 @@ class Trainer:
             start_epoch = int(ckpt.latest_step())
             log.info("resumed run %d at epoch %d", run_idx, start_epoch)
 
+        from phc_gnn_tpu.utils.profiling import StepMeter
+
         mode = cfg.scheduler_mode
         best_val = -np.inf if mode == "max" else np.inf
         best_state = state
         scalars_path = os.path.join(run_dir, "scalars.jsonl")
         t_start = time.time()
         lr = scheduler.lr
+        meter = StepMeter()
         history = {"lr": [], "train_loss": [], "train_metric": [],
                    "valid_loss": [], "valid_metric": []}
 
@@ -154,6 +157,7 @@ class Trainer:
             for batch in self.train_batches(seed * 10007 + epoch):
                 state, loss, out = self.train_step(state, batch,
                                                    jnp.asarray(lr, jnp.float32))
+                meter.tick(int(np.asarray(batch.edge_mask).sum()))
                 g = int(np.asarray(batch.graph_mask).sum())
                 ep_loss += float(loss) * g
                 n_graphs += g
@@ -177,7 +181,9 @@ class Trainer:
             row = {"epoch": epoch, "lr": lr, "train_loss": train_loss,
                    "train_metric": train_metric, "valid_loss": val["loss"],
                    "valid_metric": val_metric,
-                   "wall_s": round(time.time() - t_start, 1)}
+                   "wall_s": round(time.time() - t_start, 1),
+                   "steps_per_s": round(meter.steps_per_s, 2),
+                   "edges_per_s": round(meter.edges_per_s, 1)}
             with open(scalars_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
             for k in history:

@@ -1,0 +1,67 @@
+"""Benchmark CLI smoke test: full train_zinc.py flow on a tiny synthetic npz
+dataset written in the documented schema."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from phc_gnn_tpu.data import random_graph
+
+
+def _write_npz(dirpath, name, n_graphs, seed):
+    rng = np.random.default_rng(seed)
+    graphs = [random_graph(rng, target_dim=1) for _ in range(n_graphs)]
+    node_ptr, edge_ptr = [0], [0]
+    xs, eis, eas, ys = [], [], [], []
+    for g in graphs:
+        xs.append(g["x"])
+        eis.append(g["edge_index"] + node_ptr[-1])
+        eas.append(g["edge_attr"])
+        ys.append(np.asarray(g["y"]).reshape(-1))
+        node_ptr.append(node_ptr[-1] + g["x"].shape[0])
+        edge_ptr.append(edge_ptr[-1] + g["edge_index"].shape[1])
+    np.savez(os.path.join(dirpath, name),
+             x=np.concatenate(xs), edge_index=np.concatenate(eis, axis=1),
+             edge_attr=np.concatenate(eas), y=np.stack(ys),
+             node_ptr=np.asarray(node_ptr), edge_ptr=np.asarray(edge_ptr))
+
+
+@pytest.fixture
+def zinc_root(tmp_path):
+    _write_npz(tmp_path, "zinc_train.npz", 24, 0)
+    _write_npz(tmp_path, "zinc_valid.npz", 8, 1)
+    _write_npz(tmp_path, "zinc_test.npz", 8, 2)
+    return str(tmp_path)
+
+
+def test_train_zinc_cli(zinc_root, tmp_path):
+    save = str(tmp_path / "exp")
+    from benchmarks.common import run_benchmark
+    summary = run_benchmark("zinc", [
+        "--data_root", zinc_root, "--save_dir", save,
+        "--epochs", "2", "--batch_size", "8",
+        "--input_embed_dim", "16", "--mp_units", "16,16",
+        "--d_units", "16", "--dropout_mpnn", "0.0,0.0",
+        "--dropout_dn", "0.0", "--lr", "1e-3"])
+    assert np.isfinite(summary["best_val"]["mean"])
+    assert os.path.exists(os.path.join(save, "params.json"))
+    assert os.path.exists(os.path.join(save, "run_1", "val_test.json"))
+    rows = [json.loads(l)
+            for l in open(os.path.join(save, "run_1", "scalars.jsonl"))]
+    assert len(rows) == 2
+
+
+def test_parser_defaults_match_reference_semantics():
+    from benchmarks.common import get_parser
+    args = get_parser("hiv").parse_args([])
+    assert args.aggr_msg == "softmax" and args.phm_dim == 4
+    assert args.weightdecay == 0.1
+    args_z = get_parser("zinc").parse_args(["--mp_units", "64,64"])
+    assert args_z.mp_units == (64, 64)
+    assert args_z.sc_type == "last" and args_z.aggr_msg == "sum"
+    args_p = get_parser("pcba").parse_args([])
+    assert args_p.phm_dim == 2 and args_p.batch_size == 512

@@ -1,0 +1,201 @@
+"""Golden parity tests against the ACTUAL reference implementation.
+
+The reference's algebra/layer modules that depend only on torch (not
+torch_geometric/torch_scatter) are imported straight from /root/reference and
+used as oracles: same weights loaded into both frameworks must produce the same
+outputs (BASELINE.json: per-layer activation parity).  Skipped wholesale when
+the reference checkout or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("PHC_REFERENCE", "/root/reference")
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REF, "phc")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _to_t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def test_multiplication_rules_match_reference():
+    from phc.hypercomplex.utils import get_multiplication_matrices
+
+    from phc_gnn_tpu.hypercomplex import get_multiplication_rule
+
+    for n in (1, 2, 3, 4, 5, 8):
+        ours = get_multiplication_rule(n, "standard")
+        theirs = torch.stack(get_multiplication_matrices(n, type="standard"))
+        np.testing.assert_array_equal(ours, theirs.numpy())
+
+
+def test_kronecker_matches_reference():
+    from phc.hypercomplex.kronecker import kronecker_product_einsum_batched
+
+    from phc_gnn_tpu.hypercomplex import batched_kron
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    b = rng.normal(size=(4, 5, 7)).astype(np.float32)
+    ours = batched_kron(jnp.asarray(a), jnp.asarray(b))
+    theirs = kronecker_product_einsum_batched(_to_t(a), _to_t(b))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("n,fi,fo", [(2, 8, 6), (4, 8, 12), (5, 10, 5)])
+def test_phm_linear_forward_matches_reference(n, fi, fo):
+    """Load identical weights into reference PHMLinear and ours; outputs must
+    match to float32 tolerance (per-layer allclose, BASELINE north star)."""
+    from phc.hypercomplex.layers import PHMLinear as RefPHMLinear
+
+    from phc_gnn_tpu.nn import PHMLinear
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, n * fi)).astype(np.float32)
+
+    ref = RefPHMLinear(in_features=n * fi, out_features=n * fo, phm_dim=n,
+                       w_init="phm", c_init="standard", learn_phm=True)
+    with torch.no_grad():
+        y_ref = ref(_to_t(x)).numpy()
+
+    ours = PHMLinear(in_features=n * fi, out_features=n * fo, phm_dim=n)
+    params = {"params": {
+        "W": jnp.asarray(ref.W.detach().numpy()),
+        "phm_rule": jnp.asarray(ref.phm_rule.detach().numpy()),
+        "b": jnp.asarray(ref.b.detach().numpy()),
+    }}
+    y_ours = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phm_mlp_forward_matches_reference():
+    from phc.hypercomplex.layers import PHMMLP as RefPHMMLP
+
+    from phc_gnn_tpu.nn import PHMMLP
+
+    n, d = 4, 8
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(32, n * d)).astype(np.float32)
+    ref = RefPHMMLP(in_features=n * d, out_features=n * d, phm_dim=n,
+                    phm_rule=None, activation="relu", norm=None)
+    with torch.no_grad():
+        y_ref = ref(_to_t(x)).numpy()
+    ours = PHMMLP(in_features=n * d, out_features=n * d, phm_dim=n,
+                  activation="relu", norm=None)
+    params = {"params": {
+        "linear1": {"W": jnp.asarray(ref.linear1.W.detach().numpy()),
+                    "phm_rule": jnp.asarray(ref.linear1.phm_rule.detach().numpy()),
+                    "b": jnp.asarray(ref.linear1.b.detach().numpy())},
+        "linear2": {"W": jnp.asarray(ref.linear2.W.detach().numpy()),
+                    "phm_rule": jnp.asarray(ref.linear2.phm_rule.detach().numpy()),
+                    "b": jnp.asarray(ref.linear2.b.detach().numpy())},
+    }}
+    y_ours = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_real_transformer_linear_matches_reference():
+    from phc.hypercomplex.layers import RealTransformer as RefRT
+
+    from phc_gnn_tpu.nn import RealTransformer
+
+    n, d = 4, 8
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(16, n * d)).astype(np.float32)
+    ref = RefRT(type="linear", in_features=n * d, phm_dim=n, bias=True)
+    with torch.no_grad():
+        y_ref = ref(_to_t(x)).numpy()
+    ours = RealTransformer(trafo_type="linear", in_features=n * d, phm_dim=n)
+    params = {"params": {"affine": {
+        "kernel": jnp.asarray(ref.affine.weight.detach().numpy().T),
+        "bias": jnp.asarray(ref.affine.bias.detach().numpy()),
+    }}}
+    y_ours = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_naive_phm_norm_matches_reference_train_mode():
+    from phc.hypercomplex.norm import PHMNorm as RefNorm
+
+    from phc_gnn_tpu.nn import PHMNorm
+
+    n, d, batch = 4, 8, 64
+    rng = np.random.default_rng(4)
+    x = (rng.normal(size=(batch, n * d)) * 2 + 1).astype(np.float32)
+    ref = RefNorm(num_features=n * d, phm_dim=n, type="naive-batch-norm")
+    ref.train()
+    with torch.no_grad():
+        y_ref = ref(_to_t(x)).numpy()
+    ours = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-batch-norm")
+    variables = ours.init(jax.random.key(0), jnp.asarray(x), training=True)
+    y_ours, _ = ours.apply(variables, jnp.asarray(x), training=True,
+                           mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_quaternion_whitening_norm_matches_reference():
+    from phc.quaternion.algebra import QTensor
+    from phc.quaternion.norm import QuaternionBatchNorm as RefQBN
+
+    from phc_gnn_tpu.nn import QuaternionWhiteningNorm
+
+    d, batch = 6, 128
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(batch, 4, d)).astype(np.float32)
+    ref = RefQBN(num_features=d)
+    ref.train()
+    q = QTensor(*[_to_t(x[:, c]) for c in range(4)])
+    with torch.no_grad():
+        y_ref = ref(q)
+    y_ref = np.stack([y_ref.r.numpy(), y_ref.i.numpy(), y_ref.j.numpy(),
+                      y_ref.k.numpy()], axis=1)
+    ours = QuaternionWhiteningNorm(num_features=d)
+    variables = ours.init(jax.random.key(0), jnp.asarray(x), training=True)
+    y_ours, _ = ours.apply(variables, jnp.asarray(x), training=True,
+                           mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_phm_dropout_scaling_matches_reference_semantics():
+    from phc.hypercomplex.layers import phm_dropout as ref_dropout
+
+    n, d, batch, p = 4, 16, 512, 0.5
+    x = np.ones((batch, n * d), np.float32)
+    torch.manual_seed(0)
+    y_ref = ref_dropout(_to_t(x.copy()), phm_dim=n, p=p, training=True,
+                        same=True).numpy()
+    vals_ref = set(np.unique(y_ref.round(6)))
+    from phc_gnn_tpu.nn import phm_dropout
+    import jax
+    y = phm_dropout(jax.random.key(0), jnp.asarray(x), p, n, training=True,
+                    same=True)
+    vals = set(np.unique(np.asarray(y).round(6)))
+    assert vals == vals_ref == {0.0, 2.0}
+
+
+def test_quaternion_init_statistics_match_reference():
+    """Distributional check: same expected second moment per component."""
+    from phc.quaternion.inits import quaternion_init as ref_qinit
+
+    from phc_gnn_tpu.hypercomplex import quaternion_init
+
+    fi, fo = 128, 128
+    torch.manual_seed(0)
+    np.random.seed(0)
+    wr, wi, wj, wk = ref_qinit(fi, fo, criterion="glorot", transpose=False)
+    ref_m2 = np.mean(wr.numpy() ** 2 + wi.numpy() ** 2 + wj.numpy() ** 2
+                     + wk.numpy() ** 2)
+    ours = quaternion_init(jax.random.key(0), fi, fo)
+    ours_m2 = float(jnp.mean(jnp.sum(ours ** 2, axis=0)))
+    assert abs(ours_m2 - ref_m2) / ref_m2 < 0.25
