@@ -1,8 +1,13 @@
 """Benchmark: edges/s/chip for the PHC-GNN (n=4) training step on real TPU.
 
 Primary metric from BASELINE.json: edges/s/chip of the fused PHM (n=4)
-message-passing step.  Measures the full jitted train step (fwd + bwd + Adam)
-of the flagship ZINC-config model over a realistic padded molecular batch;
+message-passing step — the full jitted train step (fwd + bwd + Adam) of the
+flagship ZINC-config model over a realistic padded molecular batch.
+
+Measurement: K consecutive train steps run inside ONE jitted lax.scan and the
+loss is fetched once (the axon tunnel has a ~27 ms dispatch+fetch round-trip
+and block_until_ready does not synchronize, so per-call timing lies); the
+per-step time is the (K2 - K1) slope, which cancels the fixed overhead.
 edges/s counts *real* (unpadded) edges.  The reference publishes no throughput
 numbers (BASELINE.md), so vs_baseline is reported against the target of 1.0.
 
@@ -11,8 +16,8 @@ Prints exactly one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
-import sys
 import time
 
 import jax
@@ -43,19 +48,25 @@ def main():
                            weight_decay=0.1, donate=False)
     lr = jnp.float32(1e-3)
 
-    # warmup / compile
-    for _ in range(3):
-        state, loss, _ = step(state, batch, lr)
-    jax.block_until_ready(loss)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def steps(state, batch, k):
+        def body(s, _):
+            s, loss, _ = step(s, batch, lr)  # nested jit inlines
+            return s, loss
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, loss, _ = step(state, batch, lr)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        final, losses = jax.lax.scan(body, state, None, length=k)
+        return jnp.sum(losses)
 
-    steps_per_s = iters / dt
+    def timed(k):
+        s = float(steps(state, batch, k))  # compile + warm
+        t0 = time.perf_counter()
+        s = float(steps(state, batch, k))
+        return time.perf_counter() - t0
+
+    k1, k2 = 10, 110
+    t1, t2 = timed(k1), timed(k2)
+    per_step = (t2 - t1) / (k2 - k1)
+    steps_per_s = 1.0 / per_step
     edges_per_s = real_edges * steps_per_s
     result = {
         "metric": "edges/s/chip (PHC-GNN n=4 train step, ZINC config)",
@@ -64,9 +75,11 @@ def main():
         "vs_baseline": 1.0,
         "detail": {
             "steps_per_s": round(steps_per_s, 2),
+            "step_ms": round(per_step * 1e3, 3),
             "real_edges_per_batch": real_edges,
             "padded_nodes": batch.num_nodes,
             "padded_edges": batch.num_edges,
+            "dispatch_overhead_ms": round((t1 - k1 * per_step) * 1e3, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -100,18 +100,24 @@ class Trainer:
 
     # -- evaluation ---------------------------------------------------------
     def evaluate(self, state: TrainState, batches: Iterable[GraphsTuple]):
-        y_true, y_pred, losses, weights = [], [], [], []
+        # keep everything on device; fetch once at the end (the dispatch+fetch
+        # round-trip dominates per-batch syncs on tunneled TPUs)
+        y_true, y_pred, masks = [], [], []
+        loss_sum = jnp.zeros(())
+        weight_sum = jnp.zeros(())
         for batch in batches:
             out = self.eval_step(state, batch)
-            mask = np.asarray(batch.graph_mask)
-            y_true.append(np.asarray(batch.y)[mask])
-            y_pred.append(np.asarray(out)[mask])
-            losses.append(float(self.loss_fn(out, batch)))
-            weights.append(mask.sum())
-        y_true = np.concatenate(y_true)
-        y_pred = np.concatenate(y_pred)
+            w = jnp.sum(batch.graph_mask)
+            loss_sum = loss_sum + self.loss_fn(out, batch) * w
+            weight_sum = weight_sum + w
+            y_true.append(batch.y)
+            y_pred.append(out)
+            masks.append(batch.graph_mask)
+        mask = np.asarray(jnp.concatenate(masks))
+        y_true = np.asarray(jnp.concatenate(y_true))[mask]
+        y_pred = np.asarray(jnp.concatenate(y_pred))[mask]
         metric = self.evaluator(y_true, y_pred)
-        loss = float(np.average(losses, weights=weights))
+        loss = float(loss_sum / jnp.maximum(weight_sum, 1))
         return {"loss": loss, self.cfg.metric: metric}
 
     # -- single run ---------------------------------------------------------
@@ -138,35 +144,40 @@ class Trainer:
             start_epoch = int(ckpt.latest_step())
             log.info("resumed run %d at epoch %d", run_idx, start_epoch)
 
-        from phc_gnn_tpu.utils.profiling import StepMeter
-
         mode = cfg.scheduler_mode
         best_val = -np.inf if mode == "max" else np.inf
         best_state = state
         scalars_path = os.path.join(run_dir, "scalars.jsonl")
         t_start = time.time()
         lr = scheduler.lr
-        meter = StepMeter()
         history = {"lr": [], "train_loss": [], "train_metric": [],
                    "valid_loss": [], "valid_metric": []}
 
         for epoch in range(start_epoch, cfg.epochs):
-            # train epoch
-            ep_loss, n_graphs = 0.0, 0
-            y_true, y_pred = [], []
+            # train epoch — all accumulation on device, one fetch at the end
+            ep_t0 = time.time()
+            n_steps = 0
+            loss_sum = jnp.zeros(())
+            graph_sum = jnp.zeros(())
+            edge_sum = jnp.zeros(())
+            y_true, y_pred, masks = [], [], []
             for batch in self.train_batches(seed * 10007 + epoch):
                 state, loss, out = self.train_step(state, batch,
                                                    jnp.asarray(lr, jnp.float32))
-                meter.tick(int(np.asarray(batch.edge_mask).sum()))
-                g = int(np.asarray(batch.graph_mask).sum())
-                ep_loss += float(loss) * g
-                n_graphs += g
-                mask = np.asarray(batch.graph_mask)
-                y_true.append(np.asarray(batch.y)[mask])
-                y_pred.append(np.asarray(out)[mask])
-            train_loss = ep_loss / max(n_graphs, 1)
-            train_metric = self.evaluator(np.concatenate(y_true),
-                                          np.concatenate(y_pred))
+                g = jnp.sum(batch.graph_mask)
+                loss_sum = loss_sum + loss * g
+                graph_sum = graph_sum + g
+                edge_sum = edge_sum + jnp.sum(batch.edge_mask)
+                y_true.append(batch.y)
+                y_pred.append(out)
+                masks.append(batch.graph_mask)
+                n_steps += 1
+            mask = np.asarray(jnp.concatenate(masks))
+            train_loss = float(loss_sum / jnp.maximum(graph_sum, 1))
+            ep_dt = max(time.time() - ep_t0, 1e-9)
+            train_metric = self.evaluator(
+                np.asarray(jnp.concatenate(y_true))[mask],
+                np.asarray(jnp.concatenate(y_pred))[mask])
             val = self.evaluate(state, self.valid_batches())
             val_metric = val[cfg.metric]
 
@@ -182,8 +193,8 @@ class Trainer:
                    "train_metric": train_metric, "valid_loss": val["loss"],
                    "valid_metric": val_metric,
                    "wall_s": round(time.time() - t_start, 1),
-                   "steps_per_s": round(meter.steps_per_s, 2),
-                   "edges_per_s": round(meter.edges_per_s, 1)}
+                   "steps_per_s": round(n_steps / ep_dt, 2),
+                   "edges_per_s": round(float(edge_sum) / ep_dt, 1)}
             with open(scalars_path, "a") as f:
                 f.write(json.dumps(row) + "\n")
             for k in history:
