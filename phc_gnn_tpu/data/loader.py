@@ -64,20 +64,41 @@ def compute_bucket_spec(graphs: Sequence[dict], batch_size: int,
 class PaddedLoader:
     """Iterable over padded GraphsTuple batches.
 
-    greedy packing: walk the (optionally shuffled) graph list; close the batch
-    when graphs, node, or edge budget would overflow.
+    Greedy packing: walk the (optionally shuffled) graph list; close the batch
+    when graphs, node, or edge budget would overflow.  With ``sub_buckets`` > 1
+    a ladder of smaller buckets (halving node/edge budgets) is kept and each
+    closed batch is emitted at the smallest bucket it fits — cutting padding
+    waste on heavy-tailed size distributions at the cost of one extra compiled
+    executable per rung (SURVEY.md hard part #2).
     """
 
     def __init__(self, graphs: Sequence[dict], bucket: BucketSpec,
                  shuffle: bool = False, seed: int = 0,
                  transform: Optional[Callable[[dict], dict]] = None,
-                 drop_last: bool = False):
+                 drop_last: bool = False, sub_buckets: int = 1,
+                 align: int = 128):
         self.graphs = graphs
         self.bucket = bucket
         self.shuffle = shuffle
         self.seed = seed
         self.transform = transform
         self.drop_last = drop_last
+        self.ladder = [bucket]
+        for _ in range(sub_buckets - 1):
+            prev = self.ladder[-1]
+            nodes = _round_up(max(prev.num_nodes // 2, align), align)
+            edges = _round_up(max(prev.num_edges // 2, align), align)
+            if nodes == prev.num_nodes and edges == prev.num_edges:
+                break
+            self.ladder.append(BucketSpec(nodes, edges, prev.num_graphs,
+                                          prev.target_dim))
+
+    def _smallest_fit(self, n_sum: int, e_sum: int, k: int) -> BucketSpec:
+        for b in reversed(self.ladder):
+            if (n_sum <= b.num_nodes - 1 and e_sum <= b.num_edges
+                    and k <= b.num_graphs - 1):
+                return b
+        return self.bucket
 
     def __iter__(self) -> Iterator[GraphsTuple]:
         order = np.arange(len(self.graphs))
@@ -95,16 +116,16 @@ class PaddedLoader:
             if cur and (len(cur) + 1 > b.num_graphs - 1
                         or n_sum + gn > b.num_nodes - 1
                         or e_sum + ge > b.num_edges):
-                yield self._pack(cur)
+                yield self._pack(cur, self._smallest_fit(n_sum, e_sum, len(cur)))
                 cur, n_sum, e_sum = [], 0, 0
             cur.append(g)
             n_sum += gn
             e_sum += ge
         if cur and not self.drop_last:
-            yield self._pack(cur)
+            yield self._pack(cur, self._smallest_fit(n_sum, e_sum, len(cur)))
 
-    def _pack(self, graphs: List[dict]) -> GraphsTuple:
-        b = self.bucket
+    def _pack(self, graphs: List[dict], b: Optional[BucketSpec] = None) -> GraphsTuple:
+        b = b or self.bucket
         y_shape = (b.target_dim,) if b.target_dim else None
         use_native = (native.native_available()
                       and all(np.issubdtype(np.asarray(g["x"]).dtype, np.integer)

@@ -97,6 +97,7 @@ def _kernel(block_tile_ref, block_first_ref, recv_ref, msgs_ref, out_ref):
         onehot, msgs_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact f32: no bf16 input rounding
     ).astype(out_ref.dtype)
 
     @pl.when(block_first_ref[b] == 1)

@@ -80,8 +80,10 @@ class ExperimentConfig:
     # activation
     activation: str = "relu"
 
-    # parallelism
+    # parallelism / dispatch
     num_devices: int = 1           # data-parallel shards
+    scan_chunk: int = 0            # >0: scan this many same-shape train steps
+                                   # inside one jit call (kills dispatch overhead)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

@@ -21,7 +21,8 @@ from phc_gnn_tpu.nn.regularization import (
     phm_weight_regularization,
 )
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "make_scan_train_steps"]
 
 
 @struct.dataclass
@@ -91,3 +92,27 @@ def make_eval_step(model):
             batch, training=False)
 
     return jax.jit(step)
+
+
+def make_scan_train_steps(model, tx, loss_fn: Callable,
+                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                          reg_p: int = 2):
+    """Scan a whole stack of same-shape batches inside one jitted call.
+
+    batches: a GraphsTuple whose arrays carry a leading step axis [S, ...]
+    (stack same-bucket batches with jax.tree.map(jnp.stack, ...)).  Removes the
+    per-step dispatch round-trip — essential on tunneled TPUs, good practice
+    everywhere.  Returns (state, losses [S], outs [S, G, T]).
+    """
+    inner = make_train_step(model, tx, loss_fn, weight_decay, weight_decay2,
+                            reg_p, donate=False)
+
+    def steps(state: TrainState, batches: GraphsTuple, lr: jax.Array):
+        def body(s, batch):
+            s, loss, out = inner(s, batch, lr)
+            return s, (loss, out)
+
+        state, (losses, outs) = jax.lax.scan(body, state, batches)
+        return state, losses, outs
+
+    return jax.jit(steps, donate_argnums=(0,))

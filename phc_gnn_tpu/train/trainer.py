@@ -96,6 +96,12 @@ class Trainer:
         self.train_step = make_train_step(
             model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
             cfg.regularization)
+        self.scan_steps = None
+        if getattr(cfg, "scan_chunk", 0):
+            from phc_gnn_tpu.train.state import make_scan_train_steps
+            self.scan_steps = make_scan_train_steps(
+                model, self.tx, self.loss_fn, cfg.weightdecay,
+                cfg.weightdecay2, cfg.regularization)
         self.eval_step = make_eval_step(model)
 
     # -- evaluation ---------------------------------------------------------
@@ -161,9 +167,10 @@ class Trainer:
             graph_sum = jnp.zeros(())
             edge_sum = jnp.zeros(())
             y_true, y_pred, masks = [], [], []
-            for batch in self.train_batches(seed * 10007 + epoch):
-                state, loss, out = self.train_step(state, batch,
-                                                   jnp.asarray(lr, jnp.float32))
+            lr_dev = jnp.asarray(lr, jnp.float32)
+
+            def consume(batch, loss, out):
+                nonlocal loss_sum, graph_sum, edge_sum, n_steps
                 g = jnp.sum(batch.graph_mask)
                 loss_sum = loss_sum + loss * g
                 graph_sum = graph_sum + g
@@ -172,6 +179,35 @@ class Trainer:
                 y_pred.append(out)
                 masks.append(batch.graph_mask)
                 n_steps += 1
+
+            if self.scan_steps is not None:
+                # group same-shape batches into chunks, one jit call per chunk
+                chunk: List[GraphsTuple] = []
+
+                def flush(chunk, state):
+                    if not chunk:
+                        return state
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *chunk)
+                    state, losses, outs = self.scan_steps(state, stacked, lr_dev)
+                    for i, b in enumerate(chunk):
+                        consume(b, losses[i], outs[i])
+                    return state
+
+                shape_key = None
+                for batch in self.train_batches(seed * 10007 + epoch):
+                    key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
+                    if chunk and (key != shape_key
+                                  or len(chunk) >= self.cfg.scan_chunk):
+                        state = flush(chunk, state)
+                        chunk = []
+                    shape_key = key
+                    chunk.append(batch)
+                state = flush(chunk, state)
+            else:
+                for batch in self.train_batches(seed * 10007 + epoch):
+                    state, loss, out = self.train_step(state, batch, lr_dev)
+                    consume(batch, loss, out)
             mask = np.asarray(jnp.concatenate(masks))
             train_loss = float(loss_sum / jnp.maximum(graph_sum, 1))
             ep_dt = max(time.time() - ep_t0, 1e-9)

@@ -183,3 +183,17 @@ def test_stats_and_degree_histogram():
     assert hist.sum() == sum(g["x"].shape[0] for g in graphs)
     avg = avg_deg_from_histogram(hist)
     assert 0 < avg["lin"] < 10 and avg["log"] > 0
+
+
+def test_sub_bucket_ladder():
+    graphs = _graphs(40, seed=9)
+    spec = compute_bucket_spec(graphs, batch_size=16, target_dim=1)
+    loader = PaddedLoader(graphs, spec, sub_buckets=3)
+    shapes = {(b.num_nodes, b.num_edges) for b in loader}
+    total = sum(int(b.count_graphs()) for b in PaddedLoader(graphs, spec,
+                                                            sub_buckets=3))
+    assert total == 40
+    assert len(loader.ladder) >= 2
+    # the final (small remainder) batch should use a smaller rung when it fits
+    batches = list(PaddedLoader(graphs, spec, sub_buckets=3))
+    assert batches[-1].num_nodes <= spec.num_nodes

@@ -153,3 +153,21 @@ def test_trainer_resume(tmp_path):
     # resume: epochs already done -> no extra epochs, state restores cleanly
     res = trainer.do_run(1, resume=True)
     assert np.isfinite(res["best_val"])
+
+
+def test_trainer_scan_chunk_matches_default(tmp_path):
+    """scan_chunk training produces the same artifacts and sane losses."""
+    common = dict(
+        dataset="synthetic", epochs=2, lr=1e-3, metric="mae", loss="l1",
+        scheduler_mode="min", input_embed_dim=16, mp_units=(16, 16),
+        d_units=(16,), dropout_mpnn=(0.0, 0.0), dropout_dn=(0.0,),
+        aggr_msg="sum", mlp_mp=True, target_dim=1, batch_size=8)
+    train_b, valid_b = _providers(n_train=4, n_valid=1, bs=8)
+    cfg1 = ExperimentConfig(save_dir=str(tmp_path / "a"), **common)
+    cfg2 = ExperimentConfig(save_dir=str(tmp_path / "b"), scan_chunk=4,
+                            **common)
+    model1 = build_model(cfg1, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    model2 = build_model(cfg2, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    r1 = Trainer(cfg1, model1, train_b, valid_b).do_run(1)
+    r2 = Trainer(cfg2, model2, train_b, valid_b).do_run(1)
+    assert abs(r1["best_val"] - r2["best_val"]) < 1e-4
