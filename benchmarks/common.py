@@ -100,6 +100,7 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--real_trafo", type=str, default=cfg.real_trafo,
                    choices=["linear", "sum", "mean", "norm"])
     p.add_argument("--naive_encoder", type=str2bool, default=cfg.naive_encoder)
+    p.add_argument("--virtual_node", type=str2bool, default=False)
     # init
     p.add_argument("--w_init", type=str, default=cfg.w_init,
                    choices=["phm", "glorot-normal", "glorot-uniform"])
@@ -189,6 +190,20 @@ def run_benchmark(dataset: str, argv=None):
 
     splits, atom_dims, bond_dims, transform = load_splits(
         dataset, args.data_root)
+    if getattr(args, "virtual_node", False):
+        import functools as _ft
+        from phc_gnn_tpu.data.transforms import (add_virtual_node,
+                                                 grow_vocab_for_virtual_node)
+        vt = _ft.partial(add_virtual_node,
+                         atom_vocab_sizes=(list(atom_dims)
+                                           if not isinstance(atom_dims, int)
+                                           else None),
+                         bond_vocab_sizes=(list(bond_dims)
+                                           if not isinstance(bond_dims, int)
+                                           else None))
+        splits = {k: [vt(g) for g in v] for k, v in splits.items()}
+        atom_dims = grow_vocab_for_virtual_node(atom_dims)
+        bond_dims = grow_vocab_for_virtual_node(bond_dims)
     log.info("train stats: %s", dataset_stats(splits["train"]))
 
     avg_deg = None

@@ -80,3 +80,52 @@ def extract_node_feature(graph: dict, reduce: str = "add") -> dict:
     out = dict(graph)
     out["x"] = feat
     return out
+
+
+def add_virtual_node(graph: dict, atom_vocab_sizes=None,
+                     bond_vocab_sizes=None) -> dict:
+    """Append a per-graph virtual node connected to every real node in both
+    directions (OGB-baseline style; BASELINE.json molhiv config).
+
+    The virtual node's categorical features use a dedicated extra vocabulary
+    index (= original vocab size) per column, as do its edges — callers must
+    grow ``atom_input_dims`` / ``bond_input_dims`` by one
+    (`grow_vocab_for_virtual_node`).
+    """
+    x = np.asarray(graph["x"])
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    ea = np.asarray(graph["edge_attr"])
+    if ea.ndim == 1:
+        ea = ea[:, None]
+    if np.issubdtype(x.dtype, np.integer):
+        sizes = (atom_vocab_sizes if atom_vocab_sizes is not None
+                 else x.max(axis=0) + 1)
+        vnode = np.asarray(sizes, x.dtype).reshape(1, -1)
+    else:
+        vnode = np.zeros((1, x.shape[1]), x.dtype)
+    if np.issubdtype(ea.dtype, np.integer):
+        esizes = (bond_vocab_sizes if bond_vocab_sizes is not None
+                  else (ea.max(axis=0) + 1 if ea.size else np.ones(ea.shape[1])))
+        vedge = np.asarray(esizes, ea.dtype).reshape(1, -1)
+    else:
+        vedge = np.zeros((1, ea.shape[1]), ea.dtype)
+
+    out = dict(graph)
+    out["x"] = np.concatenate([x, vnode])
+    vn = n  # virtual node index
+    new_send = np.concatenate([np.arange(n), np.full(n, vn)]).astype(np.int32)
+    new_recv = np.concatenate([np.full(n, vn), np.arange(n)]).astype(np.int32)
+    ei = np.asarray(graph["edge_index"])
+    out["edge_index"] = np.concatenate(
+        [ei, np.stack([new_send, new_recv])], axis=1).astype(np.int32)
+    out["edge_attr"] = np.concatenate([ea, np.repeat(vedge, 2 * n, axis=0)])
+    return out
+
+
+def grow_vocab_for_virtual_node(dims):
+    """Vocab sizes grown by one for the virtual-node sentinel index."""
+    if isinstance(dims, int):
+        return dims
+    return [d + 1 for d in dims]

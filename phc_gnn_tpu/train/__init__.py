@@ -14,6 +14,7 @@ from phc_gnn_tpu.train.state import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_scan_train_steps,
     make_train_step,
 )
 from phc_gnn_tpu.train.trainer import Trainer, build_loss, build_model

@@ -59,16 +59,23 @@ def rocauc(y_true: np.ndarray, y_pred: np.ndarray) -> float:
 
 
 def _ap_single(y_true: np.ndarray, y_score: np.ndarray) -> float:
-    """Average precision (area under PR curve, step interpolation as sklearn)."""
+    """Average precision (step interpolation over distinct thresholds, tied
+    scores grouped — matches sklearn.average_precision_score)."""
     pos = (y_true > 0.5).astype(np.float64)
-    if pos.sum() == 0:
+    n_pos = pos.sum()
+    if n_pos == 0:
         return np.nan
     order = np.argsort(-y_score, kind="mergesort")
+    scores = y_score[order]
     tp = np.cumsum(pos[order])
-    precision = tp / np.arange(1, len(tp) + 1)
-    recall = tp / pos.sum()
-    # sum of precision at each positive hit / n_pos
-    return float((precision * pos[order]).sum() / pos.sum())
+    # indices where the threshold changes (group ties)
+    distinct = np.r_[scores[1:] != scores[:-1], True]
+    tp_d = tp[distinct]
+    count_d = np.arange(1, len(tp) + 1)[distinct]
+    precision = tp_d / count_d
+    recall = tp_d / n_pos
+    recall_prev = np.r_[0.0, recall[:-1]]
+    return float(np.sum((recall - recall_prev) * precision))
 
 
 def average_precision(y_true: np.ndarray, y_pred: np.ndarray) -> float:

@@ -159,6 +159,7 @@ class Trainer:
         history = {"lr": [], "train_loss": [], "train_metric": [],
                    "valid_loss": [], "valid_metric": []}
 
+        interrupted = False
         for epoch in range(start_epoch, cfg.epochs):
             # train epoch — all accumulation on device, one fetch at the end
             ep_t0 = time.time()
@@ -250,6 +251,7 @@ class Trainer:
                 log.info("stopping: max_time reached")
                 break
 
+
         if not np.isfinite(best_val):
             # no epoch ran (e.g. resume at completion): score the restored state
             val = self.evaluate(state, self.valid_batches())
@@ -270,12 +272,21 @@ class Trainer:
 
     # -- n_runs driver ------------------------------------------------------
     def run(self, resume: bool = False) -> dict:
+        """n_runs independent trainings; KeyboardInterrupt finishes the
+        current run's bookkeeping (checkpoints are saved every epoch, so a
+        resumed invocation continues exactly — reference train_hiv.py:308-358
+        saves model_last on interrupt)."""
         os.makedirs(self.cfg.save_dir, exist_ok=True)
         with open(os.path.join(self.cfg.save_dir, "params.json"), "w") as f:
             f.write(self.cfg.to_json())
         results: List[dict] = []
         for i in range(1, self.cfg.n_runs + 1):
-            results.append(self.do_run(i, resume=resume))
+            try:
+                results.append(self.do_run(i, resume=resume))
+            except KeyboardInterrupt:
+                log.info("interrupted during run %d; checkpoints are saved "
+                         "per-epoch — rerun with resume=True to continue", i)
+                break
         summary = {}
         for key in results[0]:
             vals = [r[key] for r in results]

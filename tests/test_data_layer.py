@@ -197,3 +197,19 @@ def test_sub_bucket_ladder():
     # the final (small remainder) batch should use a smaller rung when it fits
     batches = list(PaddedLoader(graphs, spec, sub_buckets=3))
     assert batches[-1].num_nodes <= spec.num_nodes
+
+
+def test_add_virtual_node():
+    from phc_gnn_tpu.data.transforms import add_virtual_node, grow_vocab_for_virtual_node
+    g = {"x": np.asarray([[0], [1], [2]], np.int32),
+         "edge_index": np.asarray([[0, 1], [1, 0]], np.int32),
+         "edge_attr": np.asarray([[0], [1]], np.int32), "y": None}
+    out = add_virtual_node(g, atom_vocab_sizes=[5], bond_vocab_sizes=[3])
+    assert out["x"].shape == (4, 1)
+    assert out["x"][3, 0] == 5  # sentinel index
+    assert out["edge_index"].shape == (2, 2 + 6)
+    # edges to/from vnode
+    ei = out["edge_index"]
+    assert (ei[1, 2:5] == 3).all() and (ei[0, 5:] == 3).all()
+    assert (out["edge_attr"][2:, 0] == 3).all()
+    assert grow_vocab_for_virtual_node([5, 7]) == [6, 8]

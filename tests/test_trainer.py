@@ -171,3 +171,19 @@ def test_trainer_scan_chunk_matches_default(tmp_path):
     r1 = Trainer(cfg1, model1, train_b, valid_b).do_run(1)
     r2 = Trainer(cfg2, model2, train_b, valid_b).do_run(1)
     assert abs(r1["best_val"] - r2["best_val"]) < 1e-4
+
+
+def test_rocauc_ap_match_sklearn():
+    """Cross-check our numpy metric implementations against scikit-learn."""
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        y = (rng.random(200) > 0.7).astype(float)
+        p = rng.normal(size=200)
+        # inject ties
+        p[::7] = p[0]
+        ours_auc = get_evaluator("rocauc")(y, p)
+        ours_ap = get_evaluator("ap")(y, p)
+        np.testing.assert_allclose(ours_auc, sk.roc_auc_score(y, p), rtol=1e-9)
+        np.testing.assert_allclose(ours_ap, sk.average_precision_score(y, p),
+                                   rtol=1e-9)
