@@ -28,7 +28,17 @@ __all__ = ["GraphsTuple", "pad_graph_batch", "batch_graphs"]
 
 @struct.dataclass
 class GraphsTuple:
-    """A padded batch of disjoint graphs, jit-stable."""
+    """A padded batch of disjoint graphs, jit-stable.
+
+    When built with ``plan_layout`` (data/loader.py), the edge arrays are
+    additionally laid out in fused-kernel tile-block order (see
+    ops/fused_segment.py): every ``block_edges`` consecutive edge slots write
+    into one ``tile_nodes``-row output tile.  The extra fields carry the plan:
+    ``recv_local`` is the receiver row within its tile (== tile_nodes marks an
+    invalid/padding slot) and ``block_tile`` / ``block_first`` map edge blocks
+    to output tiles.  Receiver-sortedness is preserved, so all generic segment
+    ops keep working on plan-ordered edges.
+    """
 
     nodes: jax.Array      # [N_pad, ...] node features (int categorical or float)
     edges: jax.Array      # [E_pad, ...] edge features
@@ -39,6 +49,10 @@ class GraphsTuple:
     edge_mask: jax.Array  # [E_pad] bool
     graph_mask: jax.Array  # [G_pad] bool
     y: Optional[jax.Array] = None  # [G_pad, target_dim] labels (NaN = missing)
+    # fused-kernel plan layout (optional)
+    recv_local: Optional[jax.Array] = None   # [E_pad] int32, tile-local rows
+    block_tile: Optional[jax.Array] = None   # [NB] int32
+    block_first: Optional[jax.Array] = None  # [NB] int32
 
     @property
     def num_nodes(self) -> int:

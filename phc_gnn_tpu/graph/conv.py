@@ -52,6 +52,21 @@ def _messages(x, senders, edge_attr, msg_encoder: str):
     return get_activation(msg_encoder)(jnp.take(x, senders, axis=0) + edge_attr)
 
 
+def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
+                  plan, tile_nodes):
+    """Softmax aggregation: fused Pallas kernel when the batch carries a plan
+    layout (single-chip), XLA composite otherwise."""
+    if plan is not None and edge_axis is None:
+        from phc_gnn_tpu.ops.fused_softmax import fused_softmax_aggregate_planned
+
+        recv_local, block_tile, block_first = plan
+        return fused_softmax_aggregate_planned(
+            msgs, beta, recv_local, block_tile, block_first, num_nodes,
+            tile_nodes, receivers, edge_mask)
+    return softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
+                             axis_name=edge_axis)
+
+
 class PHMConv(nn.Module):
     """Fixed-reduce conv with linear transform; same_dim selects
     transform-then-skip vs skip-then-transform (reference: messagepassing.py:19-88)."""
@@ -148,17 +163,18 @@ class PHMConvSoftmax(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
+    tile_nodes: int = 128
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
-        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
-                                 axis_name=self.edge_axis)
+        aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
+                             self.edge_axis, plan, self.tile_nodes)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, self.dtype,
@@ -194,17 +210,18 @@ class PHMGINEConvSoftmax(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
+    tile_nodes: int = 128
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
-        aggr = softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
-                                 axis_name=self.edge_axis)
+        aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
+                             self.edge_axis, plan, self.tile_nodes)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -300,7 +317,7 @@ class PHMMessagePassing(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, plan=None):
         aggr = "sum" if self.aggr == "add" else self.aggr
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
@@ -336,5 +353,8 @@ class PHMMessagePassing(nn.Module):
                     add_self_loops=self.add_self_loops, aggr=aggr,
                     same_dim=self.same_dim, msg_encoder=self.msg_encoder,
                     name="conv", **common)
+        if aggr == "softmax":
+            return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
+                        training=training, plan=plan)
         return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                     training=training)

@@ -183,6 +183,9 @@ class PHCGNN(nn.Module):
             rule = jax.lax.stop_gradient(rule)
 
         x_raw, e_raw = graphs.nodes, graphs.edges
+        plan = None
+        if graphs.recv_local is not None and self.edge_axis is None:
+            plan = (graphs.recv_local, graphs.block_tile, graphs.block_first)
         atom = self.atomencoder(x_raw)  # [N, n, d]
         atom = atom.reshape(atom.shape[0], -1)  # flat [N, n*d]
         if self.compute_dtype is not None:
@@ -207,11 +210,11 @@ class PHCGNN(nn.Module):
                 h = nn.remat(
                     lambda m, *a: m(*a, training=training))(
                     self.convs[i], x, graphs.senders, graphs.receivers,
-                    edge_emb, graphs.edge_mask, rule)
+                    edge_emb, graphs.edge_mask, rule, plan)
             else:
                 h = self.convs[i](x, graphs.senders, graphs.receivers,
                                   edge_emb, graphs.edge_mask, rule,
-                                  training=training)
+                                  training=training, plan=plan)
             if self.norms[i] is not None:
                 h = self.norms[i](h, training=training)
             h = act(h)

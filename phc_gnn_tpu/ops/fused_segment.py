@@ -196,7 +196,9 @@ def segment_sum_sorted(msgs: jax.Array, plan: SegmentPlan, num_nodes: int,
                        interpret: bool = False) -> jax.Array:
     """Segment-sum of ``msgs`` [E, D] into [num_nodes, D] using a host-built
     plan for the (sorted) receiver array.  Exact replacement for
-    jax.ops.segment_sum on sorted ids, differentiable (custom VJP = gather)."""
+    jax.ops.segment_sum on sorted ids, differentiable (custom VJP = gather).
+    Interpret mode is forced automatically off-TPU."""
+    interpret = interpret or jax.default_backend() != "tpu"
     if edge_mask is not None:
         msgs = jnp.where(edge_mask[:, None], msgs, 0.0)
     slot_recv = (plan.block_tile.repeat(plan.block_edges) * plan.tile_nodes

@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from phc_gnn_tpu.ops.fused_segment import SegmentPlan, _round_up
 
-__all__ = ["fused_softmax_aggregate", "pad_plan_to"]
+__all__ = ["fused_softmax_aggregate",
+           "fused_softmax_aggregate_planned", "pad_plan_to"]
 
 
 def pad_plan_to(plan: SegmentPlan, num_blocks: int) -> SegmentPlan:
@@ -55,6 +56,13 @@ def pad_plan_to(plan: SegmentPlan, num_blocks: int) -> SegmentPlan:
         num_tiles=plan.num_tiles)
 
 
+
+
+def _auto_interpret(interpret: bool) -> bool:
+    """Pallas TPU kernels only compile on TPU; interpret elsewhere (tests)."""
+    return interpret or jax.default_backend() != "tpu"
+
+
 def _kernel(block_tile_ref, block_first_ref, beta_ref, recv_ref, msgs_ref,
             segmax_ref, out_ref):
     b = pl.program_id(0)
@@ -66,11 +74,12 @@ def _kernel(block_tile_ref, block_first_ref, beta_ref, recv_ref, msgs_ref,
     recv = recv_ref[b % 8, :]  # TN marks invalid slots -> all-zero column
     onehot = (rows == recv[None, :]).astype(jnp.float32)
     # max gather via MXU: [BE, TN] @ [TN, D]
+    # M cancels exactly between numerator and denominator, so the max gather
+    # can run at default MXU precision (1 pass instead of 3)
     mg = jax.lax.dot_general(
         onehot, segmax_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32)
     m = msgs_ref[...]
     e = jnp.exp(beta * m - mg)
     contrib = jax.lax.dot_general(
@@ -173,22 +182,33 @@ def _fused_fwd(num_nodes, tile_nodes, block_edges, num_tiles, interpret,
     return y, (msgs, beta, receivers, edge_mask, segmax, denom, y)
 
 
-def _fused_bwd(num_nodes, tile_nodes, block_edges, num_tiles, interpret,
-               res, g):
-    msgs, beta, receivers, edge_mask, segmax, denom, y = res
+def _softmax_bwd_core(msgs, beta, receivers, edge_mask, segmax, y, g,
+                      num_nodes):
+    """Closed-form backward shared by both fused paths.  The per-edge weight is
+    recomputed with the exact segment max (the kernel's relaxed-precision max
+    gather cancels in the forward ratio but its denominator is not reusable
+    here), costing one extra exp + segment_sum pass."""
     m = _mask_msgs(msgs, edge_mask)
-    # per-edge weight w = exp(beta*m - M[r]) / denom[r]
     mg = jnp.take(segmax, receivers, axis=0)
-    zg = jnp.take(jnp.maximum(denom, 1e-16), receivers, axis=0)
-    w = jnp.exp(beta * m - mg) / zg
+    e = jnp.exp(beta * m - mg)
     if edge_mask is not None:
-        w = jnp.where(edge_mask[:, None], w, 0.0)
+        e = jnp.where(edge_mask[:, None], e, 0.0)
+    denom = jax.ops.segment_sum(e, receivers, num_segments=num_nodes)
+    w = e / jnp.take(jnp.maximum(denom, 1e-16), receivers, axis=0)
     gr = jnp.take(g, receivers, axis=0)
     yr = jnp.take(y, receivers, axis=0)
     grad_m = gr * w * (1.0 + beta * (m - yr))
     if edge_mask is not None:
         grad_m = jnp.where(edge_mask[:, None], grad_m, 0.0)
     grad_beta = jnp.sum(gr * w * m * (m - yr))
+    return grad_m, grad_beta
+
+
+def _fused_bwd(num_nodes, tile_nodes, block_edges, num_tiles, interpret,
+               res, g):
+    msgs, beta, receivers, edge_mask, segmax, denom, y = res
+    grad_m, grad_beta = _softmax_bwd_core(msgs, beta, receivers, edge_mask,
+                                          segmax, y, g, num_nodes)
     return (grad_m, grad_beta, None, None, None, None, None, None)
 
 
@@ -209,6 +229,90 @@ def fused_softmax_aggregate(msgs: jax.Array, beta, plan: SegmentPlan,
                            plan.tile_nodes)  # TN = invalid marker
     return _fused_softmax(
         num_nodes, plan.tile_nodes, plan.block_edges, plan.num_tiles,
-        interpret, msgs, jnp.asarray(beta, jnp.float32), receivers, edge_mask,
+        _auto_interpret(interpret), msgs, jnp.asarray(beta, jnp.float32), receivers, edge_mask,
         perm, recv_valid.astype(jnp.int32),
         jnp.asarray(plan.block_tile), jnp.asarray(plan.block_first))
+
+
+# ---------------- plan-layout path (no runtime permutation) ----------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_softmax_planned(num_nodes, tile_nodes, block_edges, num_tiles,
+                           interpret, msgs, beta, receivers, edge_mask,
+                           recv_valid, block_tile, block_first):
+    y, _ = _fused_planned_fwd_impl(
+        num_nodes, tile_nodes, block_edges, num_tiles, interpret, msgs, beta,
+        receivers, edge_mask, recv_valid, block_tile, block_first)
+    return y
+
+
+def _fused_planned_fwd_impl(num_nodes, tile_nodes, block_edges, num_tiles,
+                            interpret, msgs, beta, receivers, edge_mask,
+                            recv_valid, block_tile, block_first):
+    segmax = _masked_segmax(msgs, beta, receivers, edge_mask, num_nodes)
+    masked = _mask_msgs(msgs, edge_mask)
+    d = msgs.shape[1]
+    d_pad = _round_up(d, 128)
+    blocked = masked if d_pad == d else jnp.pad(masked,
+                                                ((0, 0), (0, d_pad - d)))
+    segmax_pad = jnp.zeros((num_tiles * tile_nodes, d_pad), jnp.float32)
+    segmax_pad = segmax_pad.at[:num_nodes, :d].set(segmax)
+    nb = block_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((8, block_edges), lambda b, bt, bf, be_: (b // 8, 0)),
+            pl.BlockSpec((block_edges, d_pad), lambda b, bt, bf, be_: (b, 0)),
+            pl.BlockSpec((tile_nodes, d_pad), lambda b, bt, bf, be_: (bt[b], 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_nodes, 2 * d_pad),
+                               lambda b, bt, bf, be_: (bt[b], 0)),
+    )
+    out = pl.pallas_call(
+        _kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * tile_nodes, 2 * d_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(block_tile, block_first, jnp.asarray(beta, jnp.float32).reshape(1),
+      recv_valid.reshape(nb, block_edges), blocked, segmax_pad)
+    numer = out[:num_nodes, :d]
+    denom = jnp.maximum(out[:num_nodes, d_pad:d_pad + d], 1e-16)
+    y = numer / denom
+    return y, (segmax, denom)
+
+
+def _fused_planned_fwd(num_nodes, tile_nodes, block_edges, num_tiles,
+                       interpret, msgs, beta, receivers, edge_mask,
+                       recv_valid, block_tile, block_first):
+    y, (segmax, denom) = _fused_planned_fwd_impl(
+        num_nodes, tile_nodes, block_edges, num_tiles, interpret, msgs, beta,
+        receivers, edge_mask, recv_valid, block_tile, block_first)
+    return y, (msgs, beta, receivers, edge_mask, segmax, denom, y)
+
+
+def _fused_planned_bwd(num_nodes, tile_nodes, block_edges, num_tiles,
+                       interpret, res, g):
+    msgs, beta, receivers, edge_mask, segmax, denom, y = res
+    grad_m, grad_beta = _softmax_bwd_core(msgs, beta, receivers, edge_mask,
+                                          segmax, y, g, num_nodes)
+    return (grad_m, grad_beta, None, None, None, None, None)
+
+
+_fused_softmax_planned.defvjp(_fused_planned_fwd, _fused_planned_bwd)
+
+
+def fused_softmax_aggregate_planned(msgs: jax.Array, beta, recv_local,
+                                    block_tile, block_first, num_nodes: int,
+                                    tile_nodes: int, receivers: jax.Array,
+                                    edge_mask=None, interpret: bool = False):
+    """Fused softmax aggregation over edges ALREADY in plan layout (see
+    GraphsTuple.recv_local; data/loader.py plan_layout).  No runtime
+    permutation — the batcher laid the edges out tile-blocked."""
+    num_tiles = num_nodes // tile_nodes
+    block_edges = msgs.shape[0] // block_tile.shape[0]
+    return _fused_softmax_planned(
+        num_nodes, tile_nodes, block_edges, num_tiles,
+        _auto_interpret(interpret),
+        msgs, jnp.asarray(beta, jnp.float32), receivers, edge_mask,
+        recv_local.astype(jnp.int32), block_tile, block_first)
