@@ -134,6 +134,7 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--min_lr", type=float, default=cfg.min_lr)
     p.add_argument("--max_time", dest="max_time_hours", type=float,
                    default=cfg.max_time_hours)
+    p.add_argument("--scan_chunk", type=int, default=getattr(cfg, "scan_chunk", 0))
     # activation
     p.add_argument("--activation", type=str, default=cfg.activation,
                    choices=["relu", "lrelu", "elu", "selu", "swish"])
@@ -171,6 +172,15 @@ def load_splits(dataset: str, data_root: str, ppa_mode: str = "zeros"):
         return splits, ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS, remove_isolated_nodes
     if dataset == "zinc":
         splits = load_npz_dataset(data_root, "zinc")
+        return splits, ZINC_ATOM_DIMS, ZINC_BOND_DIMS, None
+    if dataset == "synthetic":
+        from phc_gnn_tpu.data import random_graph
+        rng = np.random.default_rng(0)
+        splits = {
+            "train": [random_graph(rng, target_dim=1) for _ in range(4096)],
+            "valid": [random_graph(rng, target_dim=1) for _ in range(512)],
+            "test": [random_graph(rng, target_dim=1) for _ in range(512)],
+        }
         return splits, ZINC_ATOM_DIMS, ZINC_BOND_DIMS, None
     if dataset in ("mnist", "cifar10"):
         splits = load_npz_dataset(data_root, dataset)

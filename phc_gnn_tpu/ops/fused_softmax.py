@@ -20,8 +20,6 @@ elementwise):  dm = g[r] * w * (1 + beta*(m - y[r])),
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

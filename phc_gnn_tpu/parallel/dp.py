@@ -9,7 +9,6 @@ gradient DP reduction riding ICI as in SURVEY.md section 5.8.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -76,6 +75,7 @@ def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         loss = jax.lax.pmean(loss, "dp")
         new_stats = jax.lax.pmean(new_stats, "dp")
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss

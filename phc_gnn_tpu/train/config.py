@@ -98,19 +98,24 @@ class ExperimentConfig:
 DATASET_DEFAULTS = {
     "zinc": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1,
                  aggr_msg="sum", sc_type="last", input_embed_dim=200,
-                 mp_units=(200, 200, 200, 200)),
+                 mp_units=(200, 200, 200, 200),
+                 dropout_mpnn=(0.0, 0.0, 0.0, 0.0)),
     "hiv": dict(metric="rocauc", loss="bce", scheduler_mode="max", target_dim=1,
                 aggr_msg="softmax", input_embed_dim=200, mp_units=(200, 200),
                 weightdecay=0.1),
     "pcba": dict(metric="ap", loss="bce", scheduler_mode="max", target_dim=128,
                  aggr_msg="sum", phm_dim=2, batch_size=512,
                  input_embed_dim=512,
-                 mp_units=(512, 512, 512, 512, 512, 512, 512), mlp_mp=False),
+                 mp_units=(512, 512, 512, 512, 512, 512, 512), mlp_mp=False,
+                 dropout_mpnn=(0.3,) * 7),
     "ppa": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=37,
                 aggr_msg="softmax"),
     "mnist": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
                   aggr_msg="softmax"),
     "cifar10": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
                     aggr_msg="softmax"),
-    "synthetic": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1),
+    "synthetic": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1,
+                      aggr_msg="softmax", input_embed_dim=200,
+                      mp_units=(200, 200, 200, 200),
+                      dropout_mpnn=(0.1, 0.1, 0.1, 0.1), scan_chunk=16),
 }

@@ -23,26 +23,19 @@ __all__ = ["make_optimizer", "ReduceLROnPlateau"]
 
 def make_optimizer(lr: float, grad_clip: float = 0.0,
                    eps: float = 1e-8) -> optax.GradientTransformation:
-    """Adam with optional global-norm clipping; lr is an injected hyperparam
-    (update via ``opt_state.hyperparams['learning_rate']``)."""
+    """Adam with optional global-norm clipping.
+
+    The learning rate is applied by the train step (updates are produced at
+    unit scale: scale_by_adam + scale(-1)), so the host-side plateau scheduler
+    changes lr without touching optimizer state or recompiling; ``lr`` here is
+    recorded for reference only.
+    """
     chain = []
     if grad_clip and grad_clip > 0.0:
         chain.append(optax.clip_by_global_norm(grad_clip))
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=eps)
-    chain.append(tx)
+    chain.append(optax.scale_by_adam(eps=eps))
+    chain.append(optax.scale(-1.0))
     return optax.chain(*chain)
-
-
-def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate inside an optimizer state pytree."""
-    def update(state):
-        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
-            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        return state
-
-    if isinstance(opt_state, tuple):
-        return tuple(update(s) for s in opt_state)
-    return update(opt_state)
 
 
 @dataclass

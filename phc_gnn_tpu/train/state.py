@@ -76,6 +76,7 @@ def make_train_step(model, tx, loss_fn: Callable,
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=new_params, batch_stats=new_stats,
                                   opt_state=new_opt_state,

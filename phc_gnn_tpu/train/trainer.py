@@ -31,7 +31,7 @@ from phc_gnn_tpu.train.loss import (
     masked_l1,
     masked_mse,
 )
-from phc_gnn_tpu.train.optim import ReduceLROnPlateau, make_optimizer, set_learning_rate
+from phc_gnn_tpu.train.optim import ReduceLROnPlateau, make_optimizer
 from phc_gnn_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -46,14 +46,18 @@ log = logging.getLogger("phc_gnn_tpu")
 
 def build_model(cfg: ExperimentConfig, atom_input_dims, bond_input_dims,
                 avg_deg=None) -> PHCGNN:
-    """Instantiate PHCGNN from an ExperimentConfig (reference main():566-579)."""
+    """Instantiate PHCGNN from an ExperimentConfig (reference main():566-579).
+    A length-1 dropout_mpnn broadcasts over all message-passing layers."""
+    dropout_mpnn = tuple(cfg.dropout_mpnn)
+    if len(dropout_mpnn) == 1 and len(cfg.mp_units) > 1:
+        dropout_mpnn = dropout_mpnn * len(cfg.mp_units)
     return PHCGNN(
         phm_dim=cfg.phm_dim, learn_phm=cfg.learn_phm, unique_phm=cfg.unique_phm,
         atom_input_dims=atom_input_dims, atom_encoded_dim=cfg.input_embed_dim,
         bond_input_dims=bond_input_dims, naive_encoder=cfg.naive_encoder,
         w_init=cfg.w_init, c_init=cfg.c_init, same_dropout=cfg.same_dropout,
         mp_layers=tuple(cfg.mp_units), bias=True,
-        dropout_mpnn=tuple(cfg.dropout_mpnn), norm_mp=cfg.norm_mp,
+        dropout_mpnn=dropout_mpnn, norm_mp=cfg.norm_mp,
         add_self_loops=True, msg_aggr=cfg.aggr_msg, node_aggr=cfg.aggr_node,
         mlp_mp=cfg.mlp_mp, pooling=cfg.pooling, activation=cfg.activation,
         real_trafo=cfg.real_trafo, downstream_layers=tuple(cfg.d_units),
@@ -221,8 +225,10 @@ class Trainer:
             improved = (val_metric > best_val) if mode == "max" else (val_metric < best_val)
             if improved and np.isfinite(val_metric):
                 best_val = val_metric
-                best_state = state
-                ckpt.export_best(jax.device_get(state))
+                # host copy: the live state's buffers are donated by the next
+                # train step, so an alias would read deleted TPU memory
+                best_state = jax.device_get(state)
+                ckpt.export_best(best_state)
             lr = scheduler.step(val_metric)
             ckpt.save(epoch + 1, jax.device_get(state))
 
@@ -255,7 +261,7 @@ class Trainer:
         if not np.isfinite(best_val):
             # no epoch ran (e.g. resume at completion): score the restored state
             val = self.evaluate(state, self.valid_batches())
-            best_val, best_state = val[cfg.metric], state
+            best_val, best_state = val[cfg.metric], jax.device_get(state)
 
         # final test at best-val and last state
         result = {"best_val": float(best_val)}

@@ -187,3 +187,34 @@ def test_rocauc_ap_match_sklearn():
         np.testing.assert_allclose(ours_auc, sk.roc_auc_score(y, p), rtol=1e-9)
         np.testing.assert_allclose(ours_ap, sk.average_precision_score(y, p),
                                    rtol=1e-9)
+
+
+def test_lr_actually_scales_adam_updates():
+    """The lr passed to the train step must scale the Adam update (plateau
+    scheduler efficacy — regression test for the frozen-lr bug)."""
+    from phc_gnn_tpu.train import create_train_state, make_optimizer, make_train_step
+    from phc_gnn_tpu.train.loss import masked_l1
+
+    cfg_kw = dict(atom_input_dims=ZINC_ATOM_DIMS, bond_input_dims=ZINC_BOND_DIMS,
+                  atom_encoded_dim=16, mp_layers=(16,), dropout_mpnn=(0.0,),
+                  downstream_layers=(16,), target_dim=1, dropout_dn=(0.0,),
+                  msg_aggr="sum", mlp_mp=True, norm_mp=None, norm_dn=None)
+    from phc_gnn_tpu.models import PHCGNN
+    model = PHCGNN(phm_dim=4, **cfg_kw)
+    batch = synthetic_batch(batch_size=4, num_nodes=128, num_edges=256, seed=0)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    step = make_train_step(model, tx, lambda o, b: masked_l1(o, b.y),
+                           donate=False)
+
+    s_big, _, _ = step(state, batch, jnp.float32(1e-2))
+    s_small, _, _ = step(state, batch, jnp.float32(1e-4))
+
+    def delta(a, b):
+        return max(float(jnp.abs(x - y).max()) for x, y in
+                   zip(jax.tree_util.tree_leaves(a.params),
+                       jax.tree_util.tree_leaves(b.params)))
+
+    d_big = delta(s_big, state)
+    d_small = delta(s_small, state)
+    assert d_big > 50 * d_small  # ~100x lr ratio -> ~100x update ratio
