@@ -74,8 +74,18 @@ class PHMNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
-        assert self.norm_type in ("naive-batch-norm", "naive-naive-batch-norm")
+        assert self.norm_type in ("naive-batch-norm", "naive-naive-batch-norm",
+                                  "q-batch-norm")
         n = self.phm_dim
+        if self.norm_type == "q-batch-norm":
+            # full whitening BN (reference 'q-batch-norm', n=4 only)
+            assert n == 4, "q-batch-norm requires phm_dim=4"
+            d = self.num_features // n
+            xs = x.reshape(x.shape[0], n, d)
+            y = QuaternionWhiteningNorm(num_features=d, momentum=self.momentum,
+                                        eps=self.eps, affine=self.affine,
+                                        name="qbn")(xs, training=training)
+            return y.reshape(x.shape).astype(x.dtype)
         if self.norm_type == "naive-batch-norm":
             # [N, n*d] -> [N, n, d]: one BN per (component, feature) pair ==
             # n independent per-component BatchNorm1d(d)

@@ -120,7 +120,7 @@ class PHMMLP(nn.Module):
     bias: bool = True
     learn_phm: bool = True
     activation: str = "relu"
-    norm: Optional[str] = None  # None | naive-batch-norm | naive-naive-batch-norm
+    norm: Optional[str] = None  # None | naive-batch-norm | naive-naive-batch-norm | q-batch-norm
     w_init: str = "phm"
     c_init: str = "standard"
     factor: float = 1.0

@@ -277,3 +277,19 @@ def test_regularization_walks_params():
     w_leaves = [params["affine_0"]["W"], params["affine_1"]["W"]]
     want = sum(float(jnp.mean(jnp.sqrt(jnp.sum(w * w, axis=0)))) for w in w_leaves)
     np.testing.assert_allclose(float(reg_w), want, rtol=1e-5)
+
+
+def test_phm_norm_qbatchnorm_dispatch():
+    """'q-batch-norm' routes through the whitening BN on flat layout."""
+    n, d, batch = 4, 6, 256
+    norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="q-batch-norm",
+                   affine=False)
+    x = jax.random.normal(jax.random.key(0), (batch, n * d)) * 2 + 1
+    variables = norm.init(jax.random.key(1), x, training=True)
+    y, _ = norm.apply(variables, x, training=True, mutable=["batch_stats"])
+    assert y.shape == x.shape
+    ys = np.asarray(y).reshape(batch, n, d)
+    np.testing.assert_allclose(ys.mean(0), np.zeros((n, d)), atol=5e-3)
+    for f in range(d):
+        cov = np.cov(ys[:, :, f].T, bias=True)
+        np.testing.assert_allclose(cov, np.eye(4), atol=0.15)

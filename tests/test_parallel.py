@@ -106,3 +106,28 @@ def test_ep_softmax_aggregation_exact_across_shards():
                     out_specs=P("ep"), check_vma=False)(logits, recv, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(local), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_dp_identical_batches_match_single_device():
+    """DP over D copies of one batch == the single-device step (pmean of
+    identical grads is the same grad)."""
+    mesh = make_mesh(dp=4, ep=1)
+    model = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, **MODEL_KW)
+    batch = synthetic_batch(batch_size=4, num_nodes=128, num_edges=256, seed=7)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+
+    step1 = make_train_step(model, tx, loss_fn, donate=False)
+    s1, l1, _ = step1(state, batch, jnp.float32(1e-3))
+
+    stacked = stack_batches([batch] * 4)
+    sharded = shard_batch(stacked, mesh)
+    step_dp = make_dp_train_step(model, tx, loss_fn, mesh, donate=False)
+    # dropout rng differs per dp shard; disable stochastic paths via model cfg
+    s4, l4 = step_dp(state, sharded, jnp.float32(1e-3))
+
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
