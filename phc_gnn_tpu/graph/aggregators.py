@@ -70,14 +70,30 @@ SCALERS = {
 
 def softmax_aggregate(messages, receivers, num_nodes: int, beta,
                       edge_mask=None, axis_name=None) -> jax.Array:
-    """Softmax aggregation: w = segment_softmax(beta * m); out = segment_sum(w*m)
+    """Softmax aggregation: out = segment_sum(softmax(beta*m) * m)
     (reference: phc/hypercomplex/aggregator.py:36-54 and
     undirectional/messagepassing.py:211-214).  With ``axis_name`` the softmax
-    and the sum are exact across an edge-partition mesh axis."""
-    weights = seg.segment_softmax_weights(beta * messages, receivers, num_nodes,
-                                          edge_mask, axis_name=axis_name)
-    return seg.segment_sum(weights * messages, receivers, num_nodes, edge_mask,
-                           axis_name=axis_name)
+    and the sum are exact across an edge-partition mesh axis.
+
+    Computed as numerator/denominator at the node level — one fewer edge-wide
+    pass than materializing per-edge weights (no normalize gather+multiply)."""
+    logits = beta * messages
+    if edge_mask is not None:
+        logits = jnp.where(edge_mask[:, None] if edge_mask.ndim < logits.ndim
+                           else edge_mask, logits, -1e30)
+    seg_max = jax.ops.segment_max(jax.lax.stop_gradient(logits), receivers,
+                                  num_segments=num_nodes)
+    if axis_name is not None:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
+    seg_max = jnp.where(seg_max <= -1e29, 0.0, seg_max)
+    expd = jnp.exp(logits - seg_max[receivers])
+    if edge_mask is not None:
+        expd = jnp.where(edge_mask[:, None] if edge_mask.ndim < expd.ndim
+                         else edge_mask, expd, 0.0)
+    numer = seg.segment_sum(expd * messages, receivers, num_nodes,
+                            axis_name=axis_name)
+    denom = seg.segment_sum(expd, receivers, num_nodes, axis_name=axis_name)
+    return numer / jnp.maximum(denom, 1e-16)
 
 
 def phm_cat(tensors: Sequence[jax.Array], phm_dim: int) -> jax.Array:

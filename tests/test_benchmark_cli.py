@@ -65,3 +65,47 @@ def test_parser_defaults_match_reference_semantics():
     assert args_z.sc_type == "last" and args_z.aggr_msg == "sum"
     args_p = get_parser("pcba").parse_args([])
     assert args_p.phm_dim == 2 and args_p.batch_size == 512
+
+
+def test_all_dataset_configs_build_models():
+    """Every dataset's default config must construct and initialize its model
+    (catches dim/dropout/aggregation config mismatches without data)."""
+    import jax
+    from benchmarks.common import config_from_args, get_parser
+    from phc_gnn_tpu.data import synthetic_batch
+    from phc_gnn_tpu.data.features import (
+        ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS, MNIST_ATOM_DIM, MNIST_BOND_DIM,
+        PPA_EDGE_DIM, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    from phc_gnn_tpu.train import build_model
+
+    dims = {
+        "zinc": (ZINC_ATOM_DIMS, ZINC_BOND_DIMS),
+        "hiv": (ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS),
+        "pcba": (ATOM_FEATURE_DIMS, BOND_FEATURE_DIMS),
+        "ppa": ([1], PPA_EDGE_DIM),
+        "mnist": (MNIST_ATOM_DIM, MNIST_BOND_DIM),
+        "cifar10": (5, 1),
+        "synthetic": (ZINC_ATOM_DIMS, ZINC_BOND_DIMS),
+    }
+    for ds, (atom, bond) in dims.items():
+        args = get_parser(ds).parse_args([])
+        cfg = config_from_args(ds, args)
+        # shrink for test speed but keep layer structure
+        cfg.input_embed_dim = 2 * cfg.phm_dim
+        cfg.mp_units = tuple([cfg.input_embed_dim] * len(cfg.mp_units))
+        cfg.d_units = (2 * cfg.phm_dim,)
+        cfg.dropout_dn = (0.0,)
+        model = build_model(cfg, atom, bond)
+        nf = 1 if not isinstance(atom, (list, tuple)) else len(atom)
+        ef = 1 if not isinstance(bond, (list, tuple)) else 1
+        batch = synthetic_batch(batch_size=4, num_nodes=128, num_edges=256,
+                                seed=0, target_dim=cfg.target_dim,
+                                num_node_feats=nf,
+                                num_atom_types=2, num_bond_types=2)
+        if not isinstance(atom, (list, tuple)):
+            batch = batch.replace(nodes=batch.nodes.astype("float32"))
+        if not isinstance(bond, (list, tuple)):
+            batch = batch.replace(edges=batch.edges.astype("float32"))
+        variables = model.init(jax.random.key(0), batch, training=False)
+        out = model.apply(variables, batch, training=False)
+        assert out.shape == (batch.num_graphs, cfg.target_dim), ds
