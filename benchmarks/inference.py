@@ -48,9 +48,12 @@ def main():
 
     run_dir = os.path.join(cfg.save_dir, f"run_{args.run}")
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    slim = {"params": state.params, "batch_stats": state.batch_stats}
     abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-    state = ckpt.restore_best(abstract)
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), slim)
+    restored = ckpt.restore_best(abstract)
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"])
 
     trainer = Trainer(cfg, model, lambda s: batches(), batches, batches)
     result = trainer.evaluate(state, batches())

@@ -30,14 +30,17 @@ class CheckpointManager:
                                                  create=True))
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        """Async save; completion is awaited before restore/close so the epoch
+        loop never blocks on serialization."""
         self._mgr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics or {})
-        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, abstract_state: Any, step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
@@ -57,4 +60,5 @@ class CheckpointManager:
         return ckptr.restore(path, abstract_state)
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -228,7 +228,10 @@ class Trainer:
                 # host copy: the live state's buffers are donated by the next
                 # train step, so an alias would read deleted TPU memory
                 best_state = jax.device_get(state)
-                ckpt.export_best(best_state)
+                # slim export: params + BN stats only (optimizer state is
+                # useless for inference and version-fragile)
+                ckpt.export_best({"params": best_state.params,
+                                  "batch_stats": best_state.batch_stats})
             lr = scheduler.step(val_metric)
             ckpt.save(epoch + 1, jax.device_get(state))
 
