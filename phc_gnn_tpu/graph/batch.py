@@ -159,6 +159,7 @@ def pad_graph_batch(batch: GraphsTuple, num_nodes: int, num_edges: int,
         cfg = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         return jnp.pad(arr, cfg, constant_values=fill)
 
+    # plan-layout fields do not survive re-padding; drop them
     return GraphsTuple(
         nodes=pad_to(batch.nodes, num_nodes),
         edges=pad_to(batch.edges, num_edges),

@@ -33,7 +33,7 @@ def _t(f):
     t0 = time.perf_counter(); float(f()); return time.perf_counter() - t0
 
 
-def time_step(name, **model_kw):
+def time_step(name, batch_scale=1, **model_kw):
     dim = 200
     kw = dict(
         phm_dim=4, atom_input_dims=ZINC_ATOM_DIMS,
@@ -45,8 +45,9 @@ def time_step(name, **model_kw):
     if "mp_layers" in model_kw:
         kw["dropout_mpnn"] = (0.1,) * len(model_kw["mp_layers"])
     model = PHCGNN(**kw)
-    batch = synthetic_batch(batch_size=128, num_nodes=4096, num_edges=8192,
-                            seed=0)
+    batch = synthetic_batch(batch_size=128 * batch_scale,
+                            num_nodes=4096 * batch_scale,
+                            num_edges=8192 * batch_scale, seed=0)
     tx = make_optimizer(1e-3, grad_clip=2.0)
     state0 = create_train_state(model, tx, batch, jax.random.key(0))
     step = make_train_step(model, tx, lambda o, b: masked_l1(o, b.y),
@@ -74,7 +75,7 @@ if __name__ == "__main__":
     time_step("baseline_softmax")
     time_step("sum_aggr", msg_aggr="sum")
     time_step("no_norm", norm_mp=None, norm_dn=None)
-    time_step("no_dropout", dropout_mpnn=(0.0,) * 4, dropout_dn=(0.0, 0.0))
-    time_step("2_layers", mp_layers=(200, 200))
-    time_step("no_weightdecay")  # wd applied in step factory; isolate via sum
-    time_step("linear_conv", mlp_mp=False)
+    time_step("no_pool_attn", pooling="globalsum")
+    time_step("4x_bucket", batch_scale=4)
+    time_step("4x_bucket_sum", batch_scale=4, msg_aggr="sum")
+    time_step("4x_bucket_no_norm", batch_scale=4, norm_mp=None, norm_dn=None)
