@@ -96,24 +96,45 @@ class ExperimentConfig:
 # Canonical per-dataset defaults (reference: benchmarks/run_script_*_phm4.sh and
 # parser defaults per script; SURVEY.md section 2.3).
 DATASET_DEFAULTS = {
+    # Faithful to the reference scripts' parser defaults
+    # (reference: benchmarks/train_*.py get_parser; SURVEY.md section 2.3).
     "zinc": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1,
-                 aggr_msg="sum", sc_type="last", input_embed_dim=200,
-                 mp_units=(200, 200, 200, 200),
-                 dropout_mpnn=(0.0, 0.0, 0.0, 0.0)),
+                 aggr_msg="sum", sc_type="last", batch_size=256,
+                 input_embed_dim=180, mp_units=(180, 180, 180, 180),
+                 dropout_mpnn=(0.0, 0.0, 0.0, 0.0), dropout_dn=(0.2, 0.1),
+                 d_units=(180, 80), weightdecay=0.01, lr=1e-3, epochs=1000,
+                 patience=10, factor=0.5, max_time_hours=72.0),
     "hiv": dict(metric="rocauc", loss="bce", scheduler_mode="max", target_dim=1,
                 aggr_msg="softmax", input_embed_dim=200, mp_units=(200, 200),
-                weightdecay=0.1),
+                dropout_mpnn=(0.3, 0.1), dropout_dn=(0.3, 0.1),
+                d_units=(128, 32), weightdecay=0.001, lr=5e-4, epochs=50,
+                patience=10, factor=0.75, batch_size=128),
     "pcba": dict(metric="ap", loss="bce", scheduler_mode="max", target_dim=128,
                  aggr_msg="sum", phm_dim=2, batch_size=512,
                  input_embed_dim=512,
                  mp_units=(512, 512, 512, 512, 512, 512, 512), mlp_mp=False,
-                 dropout_mpnn=(0.3,) * 7),
+                 dropout_mpnn=(0.1,) * 7, dropout_dn=(0.3, 0.1),
+                 d_units=(768, 256), weightdecay=1e-4, lr=5e-4, epochs=150,
+                 patience=5, factor=0.75),
     "ppa": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=37,
-                aggr_msg="softmax"),
+                aggr_msg="softmax", batch_size=64, input_embed_dim=500,
+                mp_units=(500, 500, 500, 500, 500),
+                dropout_mpnn=(0.2,) * 5, dropout_dn=(0.2, 0.1),
+                d_units=(512, 256), weightdecay=0.001, lr=1e-3, epochs=200,
+                patience=10, factor=0.75),
     "mnist": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
-                  aggr_msg="softmax"),
+                  aggr_msg="sum", sc_type="last", batch_size=128,
+                  input_embed_dim=224, mp_units=(224, 224, 224, 224),
+                  dropout_mpnn=(0.1,) * 4, dropout_dn=(0.2, 0.1),
+                  d_units=(256, 128), weightdecay=0.001, lr=1e-3, epochs=1000,
+                  patience=10, factor=0.5, max_time_hours=72.0),
     "cifar10": dict(metric="acc", loss="ce", scheduler_mode="max", target_dim=10,
-                    aggr_msg="softmax"),
+                    aggr_msg="sum", sc_type="last", batch_size=128,
+                    input_embed_dim=224, mp_units=(224, 224, 224, 224),
+                    dropout_mpnn=(0.1,) * 4, dropout_dn=(0.2, 0.1),
+                    d_units=(256, 128), weightdecay=0.001, lr=1e-3,
+                    epochs=1000, patience=10, factor=0.5,
+                    max_time_hours=72.0),
     "synthetic": dict(metric="mae", loss="l1", scheduler_mode="min", target_dim=1,
                       aggr_msg="softmax", input_embed_dim=200,
                       mp_units=(200, 200, 200, 200),

@@ -59,12 +59,18 @@ def test_parser_defaults_match_reference_semantics():
     from benchmarks.common import get_parser
     args = get_parser("hiv").parse_args([])
     assert args.aggr_msg == "softmax" and args.phm_dim == 4
-    assert args.weightdecay == 0.1
+    # reference train_hiv.py parser defaults
+    assert args.weightdecay == 0.001
+    assert args.dropout_mpnn == (0.3, 0.1) and args.d_units == (128, 32)
     args_z = get_parser("zinc").parse_args(["--mp_units", "64,64"])
     assert args_z.mp_units == (64, 64)
     assert args_z.sc_type == "last" and args_z.aggr_msg == "sum"
+    assert args_z.input_embed_dim == 180 and args_z.batch_size == 256
     args_p = get_parser("pcba").parse_args([])
     assert args_p.phm_dim == 2 and args_p.batch_size == 512
+    assert args_p.d_units == (768, 256)
+    args_ppa = get_parser("ppa").parse_args([])
+    assert args_ppa.input_embed_dim == 500 and args_ppa.batch_size == 64
 
 
 def test_all_dataset_configs_build_models():
