@@ -21,3 +21,4 @@ from phc_gnn_tpu.data.datasets import (
     load_npz_dataset,
     load_ogb_graphproppred,
 )
+from phc_gnn_tpu.data.prefetch import PrefetchIterator, prefetch

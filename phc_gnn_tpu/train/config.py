@@ -84,6 +84,7 @@ class ExperimentConfig:
     num_devices: int = 1           # data-parallel shards
     scan_chunk: int = 0            # >0: scan this many same-shape train steps
                                    # inside one jit call (kills dispatch overhead)
+    prefetch_depth: int = 2        # background-prefetched batches (0 = off)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

@@ -185,6 +185,12 @@ class Trainer:
                 masks.append(batch.graph_mask)
                 n_steps += 1
 
+            batches_iter = self.train_batches(seed * 10007 + epoch)
+            depth = getattr(cfg, "prefetch_depth", 0)
+            if depth:
+                from phc_gnn_tpu.data.prefetch import prefetch
+                batches_iter = prefetch(batches_iter, depth=depth)
+
             if self.scan_steps is not None:
                 # group same-shape batches into chunks, one jit call per chunk
                 chunk: List[GraphsTuple] = []
@@ -200,7 +206,7 @@ class Trainer:
                     return state
 
                 shape_key = None
-                for batch in self.train_batches(seed * 10007 + epoch):
+                for batch in batches_iter:
                     key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
                     if chunk and (key != shape_key
                                   or len(chunk) >= self.cfg.scan_chunk):
@@ -210,7 +216,7 @@ class Trainer:
                     chunk.append(batch)
                 state = flush(chunk, state)
             else:
-                for batch in self.train_batches(seed * 10007 + epoch):
+                for batch in batches_iter:
                     state, loss, out = self.train_step(state, batch, lr_dev)
                     consume(batch, loss, out)
             mask = np.asarray(jnp.concatenate(masks))

@@ -213,3 +213,23 @@ def test_add_virtual_node():
     assert (ei[1, 2:5] == 3).all() and (ei[0, 5:] == 3).all()
     assert (out["edge_attr"][2:, 0] == 3).all()
     assert grow_vocab_for_virtual_node([5, 7]) == [6, 8]
+
+
+def test_prefetch_iterator():
+    from phc_gnn_tpu.data.prefetch import prefetch
+
+    graphs = _graphs(20, seed=11)
+    spec = compute_bucket_spec(graphs, batch_size=8, target_dim=1)
+    plain = [int(b.count_graphs()) for b in PaddedLoader(graphs, spec)]
+    pre = [int(b.count_graphs()) for b in prefetch(PaddedLoader(graphs, spec),
+                                                   depth=3)]
+    assert pre == plain
+
+    def boom():
+        yield 1
+        raise RuntimeError("source failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)

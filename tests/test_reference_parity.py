@@ -18,7 +18,7 @@ REF = os.environ.get("PHC_REFERENCE", "/root/reference")
 torch = pytest.importorskip("torch")
 if not os.path.isdir(os.path.join(REF, "phc")):
     pytest.skip("reference checkout not available", allow_module_level=True)
-sys.path.insert(0, REF)
+sys.path.append(REF)  # append: must not shadow our 'benchmarks' package
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
