@@ -18,11 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from phc_gnn_tpu.graph.batch import GraphsTuple
-from phc_gnn_tpu.nn.regularization import (
-    multiplication_rule_regularization,
-    phm_weight_regularization,
-)
-from phc_gnn_tpu.train.state import TrainState
+from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
 
 __all__ = ["stack_batches", "shard_batch", "make_dp_train_step"]
 
@@ -55,28 +51,15 @@ def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)
         rng = jax.random.fold_in(state.rng, state.step)
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
-
-        def loss_and_aux(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, training=True, dropout_rng=rng, mutable=["batch_stats"])
-            loss = loss_fn(out, batch)
-            if weight_decay > 0.0:
-                loss = loss + lr * weight_decay * phm_weight_regularization(
-                    params, p=reg_p)
-            if weight_decay2 > 0.0:
-                loss = loss + lr * weight_decay2 * (
-                    multiplication_rule_regularization(params, p=1))
-            return loss, updates.get("batch_stats", state.batch_stats)
-
-        (loss, new_stats), grads = jax.value_and_grad(
+        loss_and_aux = make_loss_and_aux(
+            model, loss_fn, weight_decay, weight_decay2, reg_p,
+            state.batch_stats, batch, rng, lr)
+        (loss, (_, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, "dp")
         loss = jax.lax.pmean(loss, "dp")
         new_stats = jax.lax.pmean(new_stats, "dp")
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss
 

@@ -22,7 +22,8 @@ from phc_gnn_tpu.nn.regularization import (
 )
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "make_scan_train_steps"]
+           "make_eval_step", "make_scan_train_steps", "make_loss_and_aux",
+           "apply_optimizer"]
 
 
 @struct.dataclass
@@ -46,6 +47,35 @@ def create_train_state(model, tx, sample_batch: GraphsTuple, rng: jax.Array,
                       step=jnp.zeros((), jnp.int32))
 
 
+def make_loss_and_aux(model, loss_fn, weight_decay, weight_decay2, reg_p,
+                      batch_stats, batch, rng, lr):
+    """Shared loss closure for all step factories: masked task loss + the
+    reference's lr-scaled weight/rule regularization (train_hiv.py:180-191)."""
+
+    def loss_and_aux(params):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, training=True, dropout_rng=rng, mutable=["batch_stats"])
+        loss = loss_fn(out, batch)
+        if weight_decay > 0.0:
+            loss = loss + lr * weight_decay * phm_weight_regularization(
+                params, p=reg_p)
+        if weight_decay2 > 0.0:
+            loss = loss + lr * weight_decay2 * (
+                multiplication_rule_regularization(params, p=1))
+        return loss, (out, updates.get("batch_stats", batch_stats))
+
+    return loss_and_aux
+
+
+def apply_optimizer(tx, grads, state: TrainState, lr: jax.Array):
+    """Unit-scale optimizer update x the live learning rate (see
+    train/optim.py: lr lives outside the optimizer state)."""
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+    return optax.apply_updates(state.params, updates), new_opt_state
+
+
 def make_train_step(model, tx, loss_fn: Callable,
                     weight_decay: float = 0.0, weight_decay2: float = 0.0,
                     reg_p: int = 2, donate: bool = True):
@@ -58,26 +88,12 @@ def make_train_step(model, tx, loss_fn: Callable,
 
     def step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
         rng = jax.random.fold_in(state.rng, state.step)
-
-        def loss_and_aux(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, training=True, dropout_rng=rng,
-                mutable=["batch_stats"])
-            loss = loss_fn(out, batch)
-            if weight_decay > 0.0:
-                loss = loss + lr * weight_decay * phm_weight_regularization(
-                    params, p=reg_p)
-            if weight_decay2 > 0.0:
-                loss = loss + lr * weight_decay2 * multiplication_rule_regularization(
-                    params, p=1)
-            return loss, (out, updates.get("batch_stats", state.batch_stats))
-
+        loss_and_aux = make_loss_and_aux(
+            model, loss_fn, weight_decay, weight_decay2, reg_p,
+            state.batch_stats, batch, rng, lr)
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
         new_state = state.replace(params=new_params, batch_stats=new_stats,
                                   opt_state=new_opt_state,
                                   step=state.step + 1)

@@ -131,3 +131,35 @@ def test_dp_identical_batches_match_single_device():
                     jax.tree_util.tree_leaves(s4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_dp_ep_combined_step():
+    """Combined (dp=2, ep=4) step runs and matches the single-device step when
+    all dp shards carry the same batch."""
+    from phc_gnn_tpu.parallel import make_dp_ep_train_step
+    from phc_gnn_tpu.parallel.edge_partition import make_dp_ep_batch_specs
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(dp=2, ep=4)
+    batch = synthetic_batch(batch_size=4, num_nodes=128, num_edges=256, seed=9)
+    batch = partition_edges(batch, 4)
+
+    model_1 = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, **MODEL_KW)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model_1, tx, batch, jax.random.key(0))
+    step_1 = make_train_step(model_1, tx, loss_fn, donate=False)
+    s1, l1, _ = step_1(state, batch, jnp.float32(1e-3))
+
+    model_ep = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, edge_axis="ep",
+                      **MODEL_KW)
+    step = make_dp_ep_train_step(model_ep, tx, loss_fn, mesh, donate=False)
+    stacked = stack_batches([batch, batch])
+    specs = make_dp_ep_batch_specs()
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), stacked, specs)
+    s2, l2 = step(state, sharded, jnp.float32(1e-3))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5)
