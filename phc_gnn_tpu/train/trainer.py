@@ -241,6 +241,23 @@ class Trainer:
             lr = scheduler.step(val_metric)
             ckpt.save(epoch + 1, jax.device_get(state))
 
+            if cfg.log_weights:
+                # reference's TensorBoard weight histograms analogue
+                # (train_hiv.py:313-323): per-param summary stats per epoch
+                host_params = jax.device_get(state.params)
+                stats = {}
+                for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        host_params)[0]:
+                    name = "/".join(getattr(k, "key", str(k)) for k in path)
+                    stats[name] = {
+                        "mean": float(np.mean(leaf)),
+                        "std": float(np.std(leaf)),
+                        "min": float(np.min(leaf)),
+                        "max": float(np.max(leaf)),
+                    }
+                with open(os.path.join(run_dir, "weights.jsonl"), "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "params": stats}) + "\n")
+
             row = {"epoch": epoch, "lr": lr, "train_loss": train_loss,
                    "train_metric": train_metric, "valid_loss": val["loss"],
                    "valid_metric": val_metric,

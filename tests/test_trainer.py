@@ -218,3 +218,20 @@ def test_lr_actually_scales_adam_updates():
     d_big = delta(s_big, state)
     d_small = delta(s_small, state)
     assert d_big > 50 * d_small  # ~100x lr ratio -> ~100x update ratio
+
+
+def test_log_weights_artifact(tmp_path):
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=1,
+        lr=1e-3, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=16, mp_units=(16,), d_units=(16,),
+        dropout_mpnn=(0.0,), dropout_dn=(0.0,), aggr_msg="sum",
+        mlp_mp=True, target_dim=1, batch_size=8, log_weights=True)
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    train_b, valid_b = _providers(n_train=2, n_valid=1, bs=8)
+    Trainer(cfg, model, train_b, valid_b).do_run(1)
+    rows = [json.loads(l)
+            for l in open(tmp_path / "exp" / "run_1" / "weights.jsonl")]
+    assert len(rows) == 1
+    some = next(iter(rows[0]["params"].values()))
+    assert {"mean", "std", "min", "max"} <= set(some)
