@@ -30,4 +30,10 @@ from phc_gnn_tpu.hypercomplex.quaternion import (
     real_matrix_representation,
     complex_matrix_representation,
     quaternion_matmul,
+    conjugate,
+    qnorm,
+    inverse,
+    normalize,
+    quaternion_dot,
 )
+from phc_gnn_tpu.hypercomplex.layout import to_flat, to_stacked

@@ -79,3 +79,33 @@ def quaternion_matmul(w: jax.Array, q: jax.Array) -> jax.Array:
     stacked = jnp.concatenate(jnp.moveaxis(q, -2, 0), axis=-1)  # (..., 4n)
     out = stacked @ rw.T  # (..., 4m)
     return jnp.stack([out[..., c * m:(c + 1) * m] for c in range(4)], axis=-2)
+
+
+def conjugate(q: jax.Array) -> jax.Array:
+    """Quaternion conjugate on [..., 4, d]: negate the imaginary components
+    (reference: phc/quaternion/algebra.py conj)."""
+    signs = jnp.asarray([1.0, -1.0, -1.0, -1.0]).reshape(
+        (1,) * (q.ndim - 2) + (4, 1))
+    return q * signs
+
+
+def qnorm(q: jax.Array) -> jax.Array:
+    """Elementwise quaternion modulus |q| over the component axis
+    (reference: algebra.py mod/norm)."""
+    return jnp.linalg.norm(q, axis=-2)
+
+
+def inverse(q: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """q^{-1} = conj(q) / |q|^2 (reference: algebra.py:509-521)."""
+    n2 = jnp.sum(q * q, axis=-2, keepdims=True)
+    return conjugate(q) / jnp.maximum(n2, eps)
+
+
+def normalize(q: jax.Array, eps: float = 1e-10) -> jax.Array:
+    """q / (|q| + eps) (reference: algebra.py:531-534)."""
+    return q / (qnorm(q)[..., None, :] + eps)
+
+
+def quaternion_dot(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    """Componentwise dot product over the quaternion axis."""
+    return jnp.sum(q1 * q2, axis=-2)

@@ -205,3 +205,31 @@ def test_orthogonal_init_real_repr_orthogonal():
     np.testing.assert_allclose(
         np.asarray(rw @ rw.T), np.eye(24), atol=1e-4
     )
+
+
+def test_quaternion_convenience_ops():
+    """conj/|q|/inverse/normalize identities (reference: phc/quaternion/
+    tests/test_qtensor_mul.py style)."""
+    from phc_gnn_tpu.hypercomplex import (
+        conjugate, inverse, normalize, qnorm, quaternion_dot)
+
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+    # q * q^{-1} = 1 (per feature)
+    prod = hamilton_product(q.T.reshape(7, 4, 1), inverse(q.T.reshape(7, 4, 1)))
+    np.testing.assert_allclose(prod[:, 0, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(prod[:, 1:, 0], 0.0, atol=1e-5)
+    # |normalize(q)| = 1
+    np.testing.assert_allclose(qnorm(normalize(q)), 1.0, atol=1e-4)
+    # conj flips sign of dot's imaginary part: q . conj(q) = |q|^2 on real
+    np.testing.assert_allclose(quaternion_dot(q, q), qnorm(q) ** 2, rtol=1e-5)
+
+
+def test_layout_bijection():
+    from phc_gnn_tpu.hypercomplex import to_flat, to_stacked
+
+    x = jnp.arange(24.0).reshape(2, 12)
+    s = to_stacked(x, 4)
+    assert s.shape == (2, 4, 3)
+    np.testing.assert_array_equal(s[0, 1], [3, 4, 5])
+    np.testing.assert_array_equal(to_flat(s), x)
