@@ -100,6 +100,7 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--real_trafo", type=str, default=cfg.real_trafo,
                    choices=["linear", "sum", "mean", "norm"])
     p.add_argument("--naive_encoder", type=str2bool, default=cfg.naive_encoder)
+    p.add_argument("--target_dim", type=int, default=cfg.target_dim)
     p.add_argument("--virtual_node", type=str2bool, default=False)
     # init
     p.add_argument("--w_init", type=str, default=cfg.w_init,
@@ -221,8 +222,11 @@ def run_benchmark(dataset: str, argv=None):
         avg_deg = avg_deg_from_histogram(degree_histogram(splits["train"]))
         log.info("pna avg_deg: %s", avg_deg)
 
+    # CE stores a single integer class label per graph; the model's
+    # target_dim is the number of classes (logit width), not the label width
+    label_dim = 1 if cfg.loss == "ce" else cfg.target_dim
     bucket = compute_bucket_spec(splits["train"], cfg.batch_size,
-                                 target_dim=cfg.target_dim)
+                                 target_dim=label_dim)
     if cfg.max_nodes:
         bucket.num_nodes = cfg.max_nodes
     if cfg.max_edges:
@@ -230,7 +234,7 @@ def run_benchmark(dataset: str, argv=None):
     log.info("bucket: %s", bucket)
     eval_bs = cfg.eval_batch_size or cfg.batch_size
     eval_bucket = compute_bucket_spec(
-        splits["valid"] + splits["test"], eval_bs, target_dim=cfg.target_dim)
+        splits["valid"] + splits["test"], eval_bs, target_dim=label_dim)
 
     def train_batches(seed):
         return PaddedLoader(splits["train"], bucket, shuffle=True, seed=seed,

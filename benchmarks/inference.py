@@ -35,8 +35,9 @@ def main():
     cfg = config_from_args(dataset, args)
 
     splits, atom_dims, bond_dims, transform = load_splits(dataset, args.data_root)
+    label_dim = 1 if cfg.loss == "ce" else cfg.target_dim
     bucket = compute_bucket_spec(splits["test"], cfg.batch_size,
-                                 target_dim=cfg.target_dim)
+                                 target_dim=label_dim)
 
     def batches():
         return PaddedLoader(splits["test"], bucket, transform=transform)

@@ -42,7 +42,9 @@ def _read_csv_gz(path: str, dtype=np.int64) -> np.ndarray:
                 rows.append([float(v) if v not in ("", "nan") else np.nan
                              for v in row])
     arr = np.asarray(rows)
-    if not np.isnan(arr).any():
+    # cast to the integer dtype only when the data is genuinely integral
+    # (ogbg-ppa ships continuous float edge features in the same layout)
+    if not np.isnan(arr).any() and np.array_equal(arr, np.round(arr)):
         arr = arr.astype(dtype)
     return arr
 

@@ -82,8 +82,8 @@ def batch_graphs(
     num_edges: int,
     num_graphs: int,
     y_shape: Optional[tuple] = None,
-    node_dtype=np.int32,
-    edge_dtype=np.int32,
+    node_dtype=None,
+    edge_dtype=None,
     sort_edges_by_receiver: bool = True,
 ) -> GraphsTuple:
     """Host-side collation of per-graph dicts into one padded GraphsTuple.
@@ -105,6 +105,17 @@ def batch_graphs(
 
     fx = graphs[0]["x"].shape[1:] if graphs[0]["x"].ndim > 1 else ()
     fe = graphs[0]["edge_attr"].shape[1:] if graphs[0]["edge_attr"].ndim > 1 else ()
+
+    def _feat_dtype(explicit, arr):
+        # infer: keep integer features int32, continuous features float32 —
+        # an int default would silently floor float features to zero
+        if explicit is not None:
+            return explicit
+        return (np.int32 if np.issubdtype(np.asarray(arr).dtype, np.integer)
+                else np.float32)
+
+    node_dtype = _feat_dtype(node_dtype, graphs[0]["x"])
+    edge_dtype = _feat_dtype(edge_dtype, graphs[0]["edge_attr"])
     nodes = np.zeros((num_nodes,) + fx, dtype=node_dtype)
     edges = np.zeros((num_edges,) + fe, dtype=edge_dtype)
     senders = np.full((num_edges,), num_nodes - 1, dtype=np.int32)

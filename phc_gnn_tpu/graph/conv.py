@@ -130,7 +130,7 @@ class PHMGINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, node_mask=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask,
@@ -141,7 +141,8 @@ class PHMGINEConv(nn.Module):
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
                       shared_rule=self.shared_rule, dtype=self.dtype,
-                      name="transform")(aggr, phm_rule, training=training)
+                      name="transform")(aggr, phm_rule, training=training,
+                                        mask=node_mask)
 
 
 class PHMConvSoftmax(nn.Module):
@@ -214,7 +215,8 @@ class PHMGINEConvSoftmax(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None):
+                 phm_rule=None, training: bool = False, plan=None,
+                 node_mask=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
@@ -228,7 +230,8 @@ class PHMGINEConvSoftmax(nn.Module):
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
                       shared_rule=self.shared_rule, dtype=self.dtype,
-                      name="transform")(aggr, phm_rule, training=training)
+                      name="transform")(aggr, phm_rule, training=training,
+                                        mask=node_mask)
 
 
 class PHMPNAConvSimple(nn.Module):
@@ -257,7 +260,7 @@ class PHMPNAConvSimple(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, node_mask=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         outs = [AGGREGATORS[a](msgs, receivers, num_nodes, edge_mask,
@@ -276,8 +279,8 @@ class PHMPNAConvSimple(nn.Module):
         for i in range(1, self.post_layers):
             if self.norm not in (None, "None"):
                 out = PHMNorm(num_features=self.out_features, phm_dim=self.phm_dim,
-                              norm_type="naive-batch-norm", name=f"post_norm_{i}")(
-                    out, training=training)
+                              norm_type=self.norm, name=f"post_norm_{i}")(
+                    out, training=training, mask=node_mask)
             out = get_activation(self.activation)(out)
             out = PHMLinear(self.out_features, self.out_features, self.phm_dim,
                             self.bias, self.w_init, self.c_init, self.learn_phm,
@@ -317,7 +320,8 @@ class PHMMessagePassing(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None):
+                 phm_rule=None, training: bool = False, plan=None,
+                 node_mask=None):
         aggr = "sum" if self.aggr == "add" else self.aggr
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
@@ -354,7 +358,14 @@ class PHMMessagePassing(nn.Module):
                     same_dim=self.same_dim, msg_encoder=self.msg_encoder,
                     name="conv", **common)
         if aggr == "softmax":
+            if self.mlp:
+                return conv(x, senders, receivers, edge_attr, edge_mask,
+                            phm_rule, training=training, plan=plan,
+                            node_mask=node_mask)
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                         training=training, plan=plan)
+        if self.mlp or aggr == "pna":
+            return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
+                        training=training, node_mask=node_mask)
         return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                     training=training)

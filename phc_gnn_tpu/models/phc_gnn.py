@@ -208,15 +208,18 @@ class PHCGNN(nn.Module):
                 edge_emb = edge_emb.astype(self.compute_dtype)
             if self.remat:
                 h = nn.remat(
-                    lambda m, *a: m(*a, training=training))(
+                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_: m(
+                        x_, s_, r_, e_, em_, rule_, training=training,
+                        plan=plan_, node_mask=nm_))(
                     self.convs[i], x, graphs.senders, graphs.receivers,
-                    edge_emb, graphs.edge_mask, rule, plan)
+                    edge_emb, graphs.edge_mask, rule, plan, graphs.node_mask)
             else:
                 h = self.convs[i](x, graphs.senders, graphs.receivers,
                                   edge_emb, graphs.edge_mask, rule,
-                                  training=training, plan=plan)
+                                  training=training, plan=plan,
+                                  node_mask=graphs.node_mask)
             if self.norms[i] is not None:
-                h = self.norms[i](h, training=training)
+                h = self.norms[i](h, training=training, mask=graphs.node_mask)
             h = act(h)
             if training and self.dropout_mpnn[i] > 0.0 and rngs[i] is not None:
                 h = phm_dropout(rngs[i], h, self.dropout_mpnn[i], n,
@@ -233,4 +236,4 @@ class PHCGNN(nn.Module):
             pooled = self.pool(x, graphs.graph_ids, graphs.num_graphs,
                                graphs.node_mask, rule)
         return self.downstream(pooled, rule, training=training,
-                               dropout_rng=rngs[-1])
+                               dropout_rng=rngs[-1], mask=graphs.graph_mask)

@@ -43,7 +43,8 @@ class PHMDownstreamNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, phm_rule=None, training: bool = False,
-                 dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+                 dropout_rng: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
         n = self.phm_dim
         dims = list(self.hidden_layers)
         drops = ([self.dropout] * len(dims) if isinstance(self.dropout, (int, float))
@@ -61,7 +62,7 @@ class PHMDownstreamNet(nn.Module):
                 if self.norm not in (None, "None"):
                     x = PHMNorm(num_features=sizes[i + 1], phm_dim=n,
                                 norm_type=self.norm, name=f"norm_{i}")(
-                        x, training=training)
+                        x, training=training, mask=mask)
                 x = act(x)
                 if training and drops[i] > 0.0:
                     x = phm_dropout(rngs[i], x, drops[i], n, training=True,

@@ -30,14 +30,19 @@ __all__ = ["PHMNorm", "QuaternionWhiteningNorm"]
 
 
 class _BatchNorm(nn.Module):
-    """Shared BN core over leading batch axis; feature shape = input.shape[1:]."""
+    """Shared BN core over leading batch axis; feature shape = input.shape[1:].
+
+    ``mask`` [N] excludes padding rows from the batch statistics — without it,
+    padded node/graph rows shift mean/var by the padding fraction (the
+    reference never pads, so unmasked stats would silently diverge)."""
 
     momentum: float = 0.1  # torch-style: running += momentum * (batch - running)
     eps: float = 1e-5
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         in_dtype = x.dtype
         x = x.astype(jnp.float32)
         feat_shape = x.shape[1:]
@@ -46,8 +51,15 @@ class _BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(feat_shape, jnp.float32))
         if training:
-            mean = jnp.mean(x, axis=0)
-            var = jnp.var(x, axis=0)
+            if mask is not None:
+                m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
+                    jnp.float32)
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=0) / cnt
+                var = jnp.sum(m * (x - mean) ** 2, axis=0) / cnt
+            else:
+                mean = jnp.mean(x, axis=0)
+                var = jnp.var(x, axis=0)
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
@@ -73,7 +85,8 @@ class PHMNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         assert self.norm_type in ("naive-batch-norm", "naive-naive-batch-norm",
                                   "q-batch-norm")
         n = self.phm_dim
@@ -84,7 +97,8 @@ class PHMNorm(nn.Module):
             xs = x.reshape(x.shape[0], n, d)
             y = QuaternionWhiteningNorm(num_features=d, momentum=self.momentum,
                                         eps=self.eps, affine=self.affine,
-                                        name="qbn")(xs, training=training)
+                                        name="qbn")(xs, training=training,
+                                                    mask=mask)
             return y.reshape(x.shape).astype(x.dtype)
         if self.norm_type == "naive-batch-norm":
             # [N, n*d] -> [N, n, d]: one BN per (component, feature) pair ==
@@ -92,10 +106,10 @@ class PHMNorm(nn.Module):
             d = self.num_features // n
             xs = x.reshape(x.shape[0], n, d)
             y = _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
-                xs, training=training)
+                xs, training=training, mask=mask)
             return y.reshape(x.shape).astype(x.dtype)
         return _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
-            x, training=training).astype(x.dtype)
+            x, training=training, mask=mask).astype(x.dtype)
 
 
 def _cholesky4x4(cov: jax.Array) -> jax.Array:
@@ -146,7 +160,8 @@ class QuaternionWhiteningNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, training: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
         d = self.num_features
         assert x.ndim == 3 and x.shape[1] == 4 and x.shape[2] == d
         ra_mean = self.variable("batch_stats", "mean",
@@ -155,10 +170,17 @@ class QuaternionWhiteningNorm(nn.Module):
             "batch_stats", "cov",
             lambda: jnp.broadcast_to(jnp.eye(4)[..., None], (4, 4, d)).astype(jnp.float32))
         if training:
-            mean = jnp.mean(x, axis=0)  # [4, d]
-            centered = x - mean[None]
-            # per-feature 4x4 covariance: [d, 4, 4]
-            cov = jnp.einsum("ncd,nkd->dck", centered, centered) / x.shape[0]
+            if mask is not None:
+                m = mask.reshape(-1, 1, 1).astype(x.dtype)
+                cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
+                mean = jnp.sum(x * m, axis=0) / cnt  # [4, d]
+                centered = (x - mean[None]) * m
+                cov = jnp.einsum("ncd,nkd->dck", centered, centered) / cnt
+            else:
+                mean = jnp.mean(x, axis=0)  # [4, d]
+                centered = x - mean[None]
+                # per-feature 4x4 covariance: [d, 4, 4]
+                cov = jnp.einsum("ncd,nkd->dck", centered, centered) / x.shape[0]
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_cov.value = ra_cov.value + self.momentum * (
@@ -167,6 +189,9 @@ class QuaternionWhiteningNorm(nn.Module):
             mean = ra_mean.value
             centered = x - mean[None]
             cov = jnp.transpose(ra_cov.value, (2, 0, 1))
+        if training and mask is not None:
+            # keep un-zeroed centered values for the whitening transform itself
+            centered = x - mean[None]
         cov = cov + self.eps * jnp.eye(4)[None]
         l = _cholesky4x4(cov)  # [d, 4, 4]
         # whiten: z = L^{-1} (x - mean), per feature

@@ -129,7 +129,7 @@ class PHMMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, phm_rule: Optional[jax.Array] = None,
-                 training: bool = False) -> jax.Array:
+                 training: bool = False, mask: Optional[jax.Array] = None) -> jax.Array:
         from phc_gnn_tpu.nn.norm import PHMNorm  # local import to avoid cycle
 
         hidden = int(self.factor * self.out_features)
@@ -138,7 +138,8 @@ class PHMMLP(nn.Module):
                       self.dtype, name="linear1")(x, phm_rule)
         if self.norm not in (None, "None"):
             x = PHMNorm(num_features=hidden, phm_dim=self.phm_dim,
-                        norm_type=self.norm, name="norm")(x, training=training)
+                        norm_type=self.norm, name="norm")(x, training=training,
+                                                          mask=mask)
         x = get_activation(self.activation)(x)
         x = PHMLinear(hidden, self.out_features, self.phm_dim, self.bias,
                       self.w_init, self.c_init, self.learn_phm, self.shared_rule,

@@ -57,12 +57,13 @@ def partition_edges(batch: GraphsTuple, num_shards: int) -> GraphsTuple:
         edge_mask=pad_edges(batch.edge_mask, False))
 
 
-def edge_partition_specs() -> GraphsTuple:
-    """PartitionSpecs for a GraphsTuple with edges sharded over ``ep``."""
+def edge_partition_specs(has_y: bool = True) -> GraphsTuple:
+    """PartitionSpecs for a GraphsTuple with edges sharded over ``ep``.
+    Pass has_y=False for unlabeled batches (y=None) so the spec tree matches."""
     return GraphsTuple(
         nodes=P(), edges=P("ep"), senders=P("ep"), receivers=P("ep"),
         graph_ids=P(), node_mask=P(), edge_mask=P("ep"), graph_mask=P(),
-        y=P())
+        y=P() if has_y else None)
 
 
 def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
@@ -86,22 +87,30 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss
 
-    sharded_step = shard_map(
+    sharded_step_y = shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), edge_partition_specs(), P()),
-        out_specs=(P(), P()),
-        check_vma=False)
+        in_specs=(P(), edge_partition_specs(True), P()),
+        out_specs=(P(), P()), check_vma=False)
+    sharded_step_no_y = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), edge_partition_specs(False), P()),
+        out_specs=(P(), P()), check_vma=False)
 
-    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+    def dispatch(state, batch, lr):
+        step = sharded_step_y if batch.y is not None else sharded_step_no_y
+        return step(state, batch, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
 
 
-def make_dp_ep_batch_specs() -> GraphsTuple:
+def make_dp_ep_batch_specs(has_y: bool = True) -> GraphsTuple:
     """PartitionSpecs for a device-stacked batch: leading axis over dp, edge
-    axis over ep."""
+    axis over ep.  Pass has_y=False for unlabeled batches."""
     return GraphsTuple(
         nodes=P("dp"), edges=P("dp", "ep"), senders=P("dp", "ep"),
         receivers=P("dp", "ep"), graph_ids=P("dp"), node_mask=P("dp"),
-        edge_mask=P("dp", "ep"), graph_mask=P("dp"), y=P("dp"))
+        edge_mask=P("dp", "ep"), graph_mask=P("dp"),
+        y=P("dp") if has_y else None)
 
 
 def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
@@ -130,12 +139,17 @@ def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss
 
-    batch_specs = make_dp_ep_batch_specs()
-
-    sharded_step = shard_map(
+    step_y = shard_map(
         device_step, mesh=mesh,
-        in_specs=(P(), batch_specs, P()),
-        out_specs=(P(), P()),
-        check_vma=False)
+        in_specs=(P(), make_dp_ep_batch_specs(True), P()),
+        out_specs=(P(), P()), check_vma=False)
+    step_no_y = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), make_dp_ep_batch_specs(False), P()),
+        out_specs=(P(), P()), check_vma=False)
 
-    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+    def dispatch(state, batch, lr):
+        step = step_y if batch.y is not None else step_no_y
+        return step(state, batch, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())

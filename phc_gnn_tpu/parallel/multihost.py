@@ -25,17 +25,27 @@ __all__ = ["initialize", "make_multihost_mesh", "is_primary", "sync_hosts"]
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None):
-    """Initialize jax.distributed (TPU pods auto-discover when args are None)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Initialize jax.distributed (TPU pods auto-discover when args are None).
+
+    Must run before any jax backend use — do NOT query jax.devices()/
+    process_count() first (that instantiates the local-only backend and makes
+    distributed init fail).
+    """
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
-        log.info("jax.distributed: process %d/%d, %d local / %d global devices",
-                 jax.process_index(), jax.process_count(),
-                 jax.local_device_count(), jax.device_count())
-    except Exception as e:  # single-host dev boxes
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier in this process — fine
+        log.warning("jax.distributed.initialize failed (%s); proceeding "
+                    "single-host — multi-host runs will be UNCOORDINATED", e)
+        return
+    except Exception as e:  # single-host dev boxes without coordinator
         log.info("jax.distributed not initialized (%s); single-host mode", e)
+        return
+    log.info("jax.distributed: process %d/%d, %d local / %d global devices",
+             jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
 
 
 def make_multihost_mesh(ep_per_host: int = 1) -> Mesh:

@@ -146,16 +146,24 @@ class Trainer:
         scheduler = ReduceLROnPlateau(
             lr=cfg.lr, mode=cfg.scheduler_mode, factor=cfg.factor,
             patience=cfg.patience, min_lr=cfg.min_lr)
+        sched_path = os.path.join(run_dir, "trainer_state.json")
         start_epoch = 0
+        mode = cfg.scheduler_mode
+        best_val = -np.inf if mode == "max" else np.inf
         if resume and ckpt.latest_step() is not None:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
             state = ckpt.restore(abstract)
             start_epoch = int(ckpt.latest_step())
-            log.info("resumed run %d at epoch %d", run_idx, start_epoch)
-
-        mode = cfg.scheduler_mode
-        best_val = -np.inf if mode == "max" else np.inf
+            if os.path.exists(sched_path):
+                # exact resume: scheduler lr/best/patience + best-val metric
+                saved = json.load(open(sched_path))
+                scheduler.lr = saved["lr"]
+                scheduler.best = saved["sched_best"]
+                scheduler.num_bad = saved["num_bad"]
+                best_val = saved["best_val"]
+            log.info("resumed run %d at epoch %d (lr %.2e, best_val %.4f)",
+                     run_idx, start_epoch, scheduler.lr, best_val)
         best_state = state
         scalars_path = os.path.join(run_dir, "scalars.jsonl")
         t_start = time.time()
@@ -240,6 +248,10 @@ class Trainer:
                                   "batch_stats": best_state.batch_stats})
             lr = scheduler.step(val_metric)
             ckpt.save(epoch + 1, jax.device_get(state))
+            with open(sched_path, "w") as f:
+                json.dump({"lr": scheduler.lr, "sched_best": scheduler.best,
+                           "num_bad": scheduler.num_bad,
+                           "best_val": float(best_val)}, f)
 
             if cfg.log_weights:
                 # reference's TensorBoard weight histograms analogue
@@ -319,6 +331,9 @@ class Trainer:
                 log.info("interrupted during run %d; checkpoints are saved "
                          "per-epoch — rerun with resume=True to continue", i)
                 break
+        if not results:
+            log.info("no completed runs; nothing to summarize")
+            return {}
         summary = {}
         for key in results[0]:
             vals = [r[key] for r in results]

@@ -115,3 +115,43 @@ def test_all_dataset_configs_build_models():
         variables = model.init(jax.random.key(0), batch, training=False)
         out = model.apply(variables, batch, training=False)
         assert out.shape == (batch.num_graphs, cfg.target_dim), ds
+
+
+def test_ce_dataset_end_to_end(tmp_path):
+    """mnist-style CE flow: scalar class labels, multi-class logits — the
+    bucket stores label width 1 while the model emits target_dim classes."""
+    import numpy as np
+    from phc_gnn_tpu.data import random_graph
+
+    rng = np.random.default_rng(0)
+
+    def write(name, n, seed):
+        r = np.random.default_rng(seed)
+        graphs = [random_graph(r, target_dim=1) for _ in range(n)]
+        node_ptr, edge_ptr = [0], [0]
+        xs, eis, eas, ys, poss = [], [], [], [], []
+        for g in graphs:
+            x = r.random((g["x"].shape[0], 1)).astype(np.float32)
+            xs.append(x)
+            eis.append(g["edge_index"] + node_ptr[-1])
+            eas.append(r.random((g["edge_index"].shape[1], 1)).astype(np.float32))
+            ys.append(np.asarray([int(g["x"].shape[0] % 3)]))
+            poss.append(r.random((x.shape[0], 2)).astype(np.float32))
+            node_ptr.append(node_ptr[-1] + x.shape[0])
+            edge_ptr.append(edge_ptr[-1] + g["edge_index"].shape[1])
+        np.savez(tmp_path / name, x=np.concatenate(xs),
+                 edge_index=np.concatenate(eis, axis=1),
+                 edge_attr=np.concatenate(eas), y=np.stack(ys),
+                 node_ptr=np.asarray(node_ptr), edge_ptr=np.asarray(edge_ptr),
+                 pos=np.concatenate(poss))
+
+    write("mnist_train.npz", 24, 1)
+    write("mnist_valid.npz", 8, 2)
+    write("mnist_test.npz", 8, 3)
+    from benchmarks.common import run_benchmark
+    summary = run_benchmark("mnist", [
+        "--data_root", str(tmp_path), "--save_dir", str(tmp_path / "exp"),
+        "--epochs", "1", "--batch_size", "8", "--input_embed_dim", "8",
+        "--mp_units", "8,8", "--d_units", "8", "--dropout_mpnn", "0.0,0.0",
+        "--dropout_dn", "0.0", "--target_dim", "3"])
+    assert np.isfinite(summary["best_val"]["mean"])

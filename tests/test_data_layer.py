@@ -233,3 +233,17 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         next(it)
+
+
+def test_batch_graphs_preserves_float_features():
+    """Continuous features must not be floored to int (mnist/cifar/ppa)."""
+    from phc_gnn_tpu.graph.batch import batch_graphs
+    g = {"x": np.asarray([[0.909, 0.818], [0.2, 0.4]], np.float32),
+         "edge_index": np.asarray([[0, 1], [1, 0]], np.int32),
+         "edge_attr": np.asarray([[0.839], [0.5]], np.float32), "y": None}
+    b = batch_graphs([g], num_nodes=8, num_edges=8, num_graphs=2)
+    np.testing.assert_allclose(np.asarray(b.nodes)[0], [0.909, 0.818],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b.edges)[:2, 0],
+                               sorted([0.839, 0.5]), rtol=1e-6)
+    assert np.asarray(b.nodes).dtype == np.float32

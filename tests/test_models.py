@@ -143,3 +143,27 @@ def test_grad_flows_through_model():
     conv_w = [g for p, g in jax.tree_util.tree_flatten_with_path(grads)[0]
               if "conv" in str(p) and getattr(p[-1], "key", None) == "W"]
     assert conv_w and all(float(jnp.abs(g).max()) > 0 for g in conv_w)
+
+
+def test_padding_invariance_with_norms_train_mode():
+    """BN statistics must exclude padding rows: train-mode outputs for real
+    graphs are identical whether the batch carries 0% or 50% padding."""
+    model = PHCGNN(phm_dim=4, msg_aggr="softmax", mlp_mp=True,
+                   norm_mp="naive-batch-norm", norm_dn="naive-batch-norm",
+                   **{**MODEL_KW, "dropout_mpnn": (0.0, 0.0),
+                      "dropout_dn": (0.0, 0.0)})
+    small = synthetic_batch(batch_size=4, num_nodes=128, num_edges=256, seed=3)
+    from phc_gnn_tpu.graph import pad_graph_batch
+    big = pad_graph_batch(small, num_nodes=256, num_edges=512, num_graphs=9)
+    variables = model.init(jax.random.key(0), small, training=True)
+    out_s, up_s = model.apply(variables, small, training=True,
+                              mutable=["batch_stats"])
+    out_b, up_b = model.apply(variables, big, training=True,
+                              mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_s)[:4], np.asarray(out_b)[:4],
+                               rtol=2e-4, atol=2e-4)
+    # running stats also padding-invariant
+    for a, b in zip(jax.tree_util.tree_leaves(up_s["batch_stats"]),
+                    jax.tree_util.tree_leaves(up_b["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)

@@ -268,3 +268,26 @@ def test_trainer_classification_pipeline(tmp_path):
     res = trainer.do_run(1)
     # learnable signal: AUC should beat chance comfortably
     assert res["best_val"] > 0.6
+
+
+def test_resume_restores_scheduler_and_best(tmp_path):
+    """Resume must carry the reduced lr and best-val forward, not reset them."""
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=3,
+        lr=1e-2, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=16, mp_units=(16,), d_units=(16,),
+        dropout_mpnn=(0.0,), dropout_dn=(0.0,), aggr_msg="sum",
+        mlp_mp=True, target_dim=1, batch_size=8, patience=0, factor=0.5)
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    train_b, valid_b = _providers(n_train=2, n_valid=1, bs=8)
+    trainer = Trainer(cfg, model, train_b, valid_b)
+    trainer.do_run(1)
+    import json as _json
+    saved = _json.load(open(tmp_path / "exp" / "run_1" / "trainer_state.json"))
+    assert np.isfinite(saved["best_val"])
+    # resume: finished run evaluates with restored state; saved lr persists
+    trainer2 = Trainer(cfg, model, train_b, valid_b)
+    res = trainer2.do_run(1, resume=True)
+    assert np.isfinite(res["best_val"])
+    saved2 = _json.load(open(tmp_path / "exp" / "run_1" / "trainer_state.json"))
+    assert saved2["lr"] == saved["lr"]
