@@ -52,11 +52,15 @@ class _BatchNorm(nn.Module):
                                lambda: jnp.ones(feat_shape, jnp.float32))
         if training:
             if mask is not None:
+                # one masked copy + two reductions (E[x^2]-E[x]^2 form) — a
+                # centered second pass would re-read x
                 m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
                     jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / cnt
-                var = jnp.sum(m * (x - mean) ** 2, axis=0) / cnt
+                xm = x * m
+                mean = jnp.sum(xm, axis=0) / cnt
+                mean_sq = jnp.sum(xm * x, axis=0) / cnt
+                var = jnp.maximum(mean_sq - mean * mean, 0.0)
             else:
                 mean = jnp.mean(x, axis=0)
                 var = jnp.var(x, axis=0)
