@@ -22,7 +22,8 @@ from phc_gnn_tpu.nn.regularization import (
 )
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "make_scan_train_steps", "make_loss_and_aux",
+           "make_eval_step", "make_scan_train_steps", "make_scan_eval_steps",
+           "make_loss_and_aux",
            "apply_optimizer"]
 
 
@@ -133,3 +134,23 @@ def make_scan_train_steps(model, tx, loss_fn: Callable,
         return state, losses, outs
 
     return jax.jit(steps, donate_argnums=(0,))
+
+
+def make_scan_eval_steps(model):
+    """Scan evaluation over a stack of same-shape batches in one jit call
+    (same dispatch-amortization as make_scan_train_steps, for the eval loop).
+
+    batches: GraphsTuple with a leading step axis [S, ...]; returns outs
+    [S, G, T]."""
+
+    def steps(state: TrainState, batches: GraphsTuple):
+        def body(_, batch):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, training=False)
+            return None, out
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return jax.jit(steps)

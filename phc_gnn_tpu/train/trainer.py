@@ -101,11 +101,14 @@ class Trainer:
             model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
             cfg.regularization)
         self.scan_steps = None
+        self.scan_eval = None
         if getattr(cfg, "scan_chunk", 0):
-            from phc_gnn_tpu.train.state import make_scan_train_steps
+            from phc_gnn_tpu.train.state import (make_scan_eval_steps,
+                                                 make_scan_train_steps)
             self.scan_steps = make_scan_train_steps(
                 model, self.tx, self.loss_fn, cfg.weightdecay,
                 cfg.weightdecay2, cfg.regularization)
+            self.scan_eval = make_scan_eval_steps(model)
         self.eval_step = make_eval_step(model)
 
     # -- evaluation ---------------------------------------------------------
@@ -115,14 +118,40 @@ class Trainer:
         y_true, y_pred, masks = [], [], []
         loss_sum = jnp.zeros(())
         weight_sum = jnp.zeros(())
-        for batch in batches:
-            out = self.eval_step(state, batch)
+
+        def consume(batch, out):
+            nonlocal loss_sum, weight_sum
             w = jnp.sum(batch.graph_mask)
             loss_sum = loss_sum + self.loss_fn(out, batch) * w
             weight_sum = weight_sum + w
             y_true.append(batch.y)
             y_pred.append(out)
             masks.append(batch.graph_mask)
+
+        if self.scan_eval is not None:
+            chunk, shape_key = [], None
+
+            def flush(chunk):
+                if not chunk:
+                    return
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *chunk)
+                outs = self.scan_eval(state, stacked)
+                for i, b in enumerate(chunk):
+                    consume(b, outs[i])
+
+            for batch in batches:
+                key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
+                if chunk and (key != shape_key
+                              or len(chunk) >= self.cfg.scan_chunk):
+                    flush(chunk)
+                    chunk = []
+                shape_key = key
+                chunk.append(batch)
+            flush(chunk)
+        else:
+            for batch in batches:
+                consume(batch, self.eval_step(state, batch))
         mask = np.asarray(jnp.concatenate(masks))
         y_true = np.asarray(jnp.concatenate(y_true))[mask]
         y_pred = np.asarray(jnp.concatenate(y_pred))[mask]
