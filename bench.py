@@ -68,6 +68,16 @@ def main():
     per_step = (t2 - t1) / (k2 - k1)
     steps_per_s = 1.0 / per_step
     edges_per_s = real_edges * steps_per_s
+
+    # roofline estimate: GEMM FLOPs (fwd 2x, bwd 4x more) at the measured
+    # ~158 TFLOP/s matmul rate, plus edge+node traffic at ~800 GB/s HBM
+    n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, 4 * dim
+    layers = 4
+    gemm_flops = 3 * 2 * layers * 2 * n_nodes * d * d  # fwd+bwd, 2 linears
+    # per layer fwd: gather + msgs + ~4 segment passes; bwd ~ same again
+    edge_bytes = 2 * layers * 8 * n_edges * d * 4
+    node_bytes = 2 * layers * 6 * n_nodes * d * 4
+    roofline_ms = (gemm_flops / 158e12 + (edge_bytes + node_bytes) / 800e9) * 1e3
     result = {
         "metric": "edges/s/chip (PHC-GNN n=4 train step, ZINC config)",
         "value": round(edges_per_s, 1),
@@ -80,6 +90,8 @@ def main():
             "padded_nodes": batch.num_nodes,
             "padded_edges": batch.num_edges,
             "dispatch_overhead_ms": round((t1 - k1 * per_step) * 1e3, 1),
+            "roofline_ms": round(roofline_ms, 3),
+            "roofline_fraction": round(roofline_ms / (per_step * 1e3), 3),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
