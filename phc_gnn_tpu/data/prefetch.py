@@ -23,7 +23,9 @@ _SENTINEL = object()
 class PrefetchIterator:
     """Iterate ``source`` with ``depth`` batches prefetched on a daemon thread.
 
-    Exceptions from the source are re-raised at the consuming call site.
+    Single-pass: wrap a fresh iterable per epoch.  Exceptions from the source
+    are re-raised at the consuming call site; an exhausted iterator raises
+    StopIteration on further next() calls.
     """
 
     def __init__(self, source: Iterable, depth: int = 2,
@@ -31,6 +33,7 @@ class PrefetchIterator:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._device = device
         self._err: Optional[BaseException] = None
+        self._done = False  # sentinel consumed; further next() raises cleanly
         self._thread = threading.Thread(target=self._fill, args=(source,),
                                         daemon=True)
         self._thread.start()
@@ -50,8 +53,13 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._done:
+            # single-pass iterator: re-iteration must not deadlock on the
+            # empty queue
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration

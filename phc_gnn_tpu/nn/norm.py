@@ -51,19 +51,24 @@ class _BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(feat_shape, jnp.float32))
         if training:
+            # One formula for masked and unmasked batches: shifted sufficient
+            # statistics.  Shifting by the running mean (stop-grad; ~ the batch
+            # mean after warmup) makes E[(x-c)^2] - E[x-c]^2 numerically stable
+            # where the raw form catastrophically cancels (large mean, small
+            # variance), while keeping a single pass over x.
+            c = jax.lax.stop_gradient(ra_mean.value)
+            xc = x - c
             if mask is not None:
-                # one masked copy + two reductions (E[x^2]-E[x]^2 form) — a
-                # centered second pass would re-read x
                 m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
                     jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                xm = x * m
-                mean = jnp.sum(xm, axis=0) / cnt
-                mean_sq = jnp.sum(xm * x, axis=0) / cnt
-                var = jnp.maximum(mean_sq - mean * mean, 0.0)
+                xc = xc * m
             else:
-                mean = jnp.mean(x, axis=0)
-                var = jnp.var(x, axis=0)
+                cnt = jnp.float32(x.shape[0])
+            s1 = jnp.sum(xc, axis=0) / cnt
+            s2 = jnp.sum(xc * xc, axis=0) / cnt
+            mean = s1 + c
+            var = jnp.maximum(s2 - s1 * s1, 0.0)
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
@@ -168,6 +173,8 @@ class QuaternionWhiteningNorm(nn.Module):
                  mask: jax.Array | None = None) -> jax.Array:
         d = self.num_features
         assert x.ndim == 3 and x.shape[1] == 4 and x.shape[2] == d
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((4, d), jnp.float32))
         ra_cov = self.variable(
@@ -209,4 +216,4 @@ class QuaternionWhiteningNorm(nn.Module):
             gamma = self.param("gamma", gamma_init, (4, 4, d))
             beta = self.param("beta", nn.initializers.zeros, (4, d))
             z = jnp.einsum("ckd,nkd->ncd", gamma, z) + beta[None]
-        return z
+        return z.astype(in_dtype)

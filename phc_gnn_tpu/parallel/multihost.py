@@ -35,7 +35,9 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        # jax 0.9 wording: "distributed.initialize should only be called once."
+        if "already" in msg or "once" in msg:
             return  # initialized earlier in this process — fine
         log.warning("jax.distributed.initialize failed (%s); proceeding "
                     "single-host — multi-host runs will be UNCOORDINATED", e)

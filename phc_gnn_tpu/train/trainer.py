@@ -80,6 +80,36 @@ def build_loss(cfg: ExperimentConfig) -> Callable:
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
+def iter_scan_chunks(batches, chunk_size: int):
+    """Group an iterable of GraphsTuples into same-shape chunks of at most
+    chunk_size (shared by the scanned train and eval loops)."""
+    chunk, shape_key = [], None
+    for batch in batches:
+        key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
+        if chunk and (key != shape_key or len(chunk) >= chunk_size):
+            yield chunk
+            chunk = []
+        shape_key = key
+        chunk.append(batch)
+    if chunk:
+        yield chunk
+
+
+def _trim_jsonl(path: str, start_epoch: int):
+    """Drop rows with epoch >= start_epoch (resume) or the whole file
+    (fresh run) so re-runs never leave duplicate epoch rows."""
+    if not os.path.exists(path):
+        return
+    if start_epoch == 0:
+        os.remove(path)
+        return
+    rows = [json.loads(l) for l in open(path)]
+    with open(path, "w") as f:
+        for r in rows:
+            if r.get("epoch", -1) < start_epoch:
+                f.write(json.dumps(r) + "\n")
+
+
 class Trainer:
     """One experiment = n_runs independent (re-seeded) trainings of one model."""
 
@@ -129,26 +159,12 @@ class Trainer:
             masks.append(batch.graph_mask)
 
         if self.scan_eval is not None:
-            chunk, shape_key = [], None
-
-            def flush(chunk):
-                if not chunk:
-                    return
+            for chunk in iter_scan_chunks(batches, self.cfg.scan_chunk):
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *chunk)
                 outs = self.scan_eval(state, stacked)
                 for i, b in enumerate(chunk):
                     consume(b, outs[i])
-
-            for batch in batches:
-                key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
-                if chunk and (key != shape_key
-                              or len(chunk) >= self.cfg.scan_chunk):
-                    flush(chunk)
-                    chunk = []
-                shape_key = key
-                chunk.append(batch)
-            flush(chunk)
         else:
             for batch in batches:
                 consume(batch, self.eval_step(state, batch))
@@ -179,6 +195,7 @@ class Trainer:
         start_epoch = 0
         mode = cfg.scheduler_mode
         best_val = -np.inf if mode == "max" else np.inf
+        best_state = None
         if resume and ckpt.latest_step() is not None:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
@@ -193,7 +210,19 @@ class Trainer:
                 best_val = saved["best_val"]
             log.info("resumed run %d at epoch %d (lr %.2e, best_val %.4f)",
                      run_idx, start_epoch, scheduler.lr, best_val)
-        best_state = state
+        _trim_jsonl(os.path.join(run_dir, "scalars.jsonl"), start_epoch)
+        _trim_jsonl(os.path.join(run_dir, "weights.jsonl"), start_epoch)
+        if (resume and np.isfinite(best_val)
+                and os.path.exists(os.path.join(run_dir, "ckpt", "best"))):
+            # test@bestval must use the best export's params, not the latest
+            slim = {"params": state.params, "batch_stats": state.batch_stats}
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), slim)
+            restored = ckpt.restore_best(abstract)
+            best_state = state.replace(params=restored["params"],
+                                       batch_stats=restored["batch_stats"])
+        if best_state is None:
+            best_state = state
         scalars_path = os.path.join(run_dir, "scalars.jsonl")
         t_start = time.time()
         lr = scheduler.lr
@@ -230,28 +259,14 @@ class Trainer:
 
             if self.scan_steps is not None:
                 # group same-shape batches into chunks, one jit call per chunk
-                chunk: List[GraphsTuple] = []
-
-                def flush(chunk, state):
-                    if not chunk:
-                        return state
+                for chunk in iter_scan_chunks(batches_iter,
+                                              self.cfg.scan_chunk):
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: jnp.stack(xs), *chunk)
-                    state, losses, outs = self.scan_steps(state, stacked, lr_dev)
+                    state, losses, outs = self.scan_steps(state, stacked,
+                                                          lr_dev)
                     for i, b in enumerate(chunk):
                         consume(b, losses[i], outs[i])
-                    return state
-
-                shape_key = None
-                for batch in batches_iter:
-                    key = (batch.num_nodes, batch.num_edges, batch.num_graphs)
-                    if chunk and (key != shape_key
-                                  or len(chunk) >= self.cfg.scan_chunk):
-                        state = flush(chunk, state)
-                        chunk = []
-                    shape_key = key
-                    chunk.append(batch)
-                state = flush(chunk, state)
             else:
                 for batch in batches_iter:
                     state, loss, out = self.train_step(state, batch, lr_dev)
