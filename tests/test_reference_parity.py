@@ -274,3 +274,117 @@ def test_softmax_aggregation_matches_reference_scatter_softmax():
     mask[recv] = True
     np.testing.assert_allclose(np.asarray(got)[mask], want[mask], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_phm_encoder_matches_reference():
+    """PHMEncoder with the reference's embedding weights produces identical
+    stacked encodings."""
+    from phc.hypercomplex.encoder import PHMEncoder as RefEnc
+
+    from phc_gnn_tpu.nn import PHMEncoder
+
+    dims, out, n = [7, 5], 6, 4
+    x = np.asarray([[0, 1], [3, 4], [6, 0]], np.int64)
+    ref = RefEnc(out_dim=out, input_dims=dims, phm_dim=n)
+    with torch.no_grad():
+        y_ref = ref(_to_t(x)).numpy()  # [N, n, out]
+
+    ours = PHMEncoder(out_dim=out, input_dims=dims, phm_dim=n)
+    params = {"params": {}}
+    for c in range(n):
+        enc = ref.encoders[c]
+        params["params"][f"encoder_{c}"] = {"integer": {
+            f"embedding_{i}": jnp.asarray(
+                enc.embeddings[i].weight.detach().numpy())
+            for i in range(len(dims))}}
+    y_ours = ours.apply(params, jnp.asarray(x.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_two_layer_stack_matches_reference_composition():
+    """Per-layer activation parity through a composed stack: encoder ->
+    [GINE conv -> naive BN] x2 -> global-sum pooling -> PHM linear head, the
+    reference side built from the reference's own modules plus plain torch
+    index ops (the exact PyG semantics).  Every intermediate is compared."""
+    from phc.hypercomplex.encoder import PHMEncoder as RefEnc
+    from phc.hypercomplex.layers import PHMLinear as RefLin, PHMMLP as RefMLP
+    from phc.hypercomplex.norm import PHMNorm as RefNorm
+
+    from phc_gnn_tpu.graph.conv import PHMGINEConv
+    from phc_gnn_tpu.nn import PHMEncoder, PHMLinear, PHMNorm
+
+    n, d = 4, 8
+    flat = n * d
+    N, E, G = 12, 30, 3
+    rng = np.random.default_rng(21)
+    x_cat = rng.integers(0, 5, size=(N, 2)).astype(np.int64)
+    senders = rng.integers(0, N, size=E).astype(np.int64)
+    receivers = rng.integers(0, N, size=E).astype(np.int64)
+    edge_emb = rng.normal(size=(E, flat)).astype(np.float32)
+    gids = np.sort(rng.integers(0, G, size=N)).astype(np.int64)
+
+    # ---- reference side
+    ref_enc = RefEnc(out_dim=d, input_dims=[5, 5], phm_dim=n)
+    ref_mlps = [RefMLP(flat, flat, n, None, activation="relu", norm=None)
+                for _ in range(2)]
+    ref_norms = [RefNorm(num_features=flat, phm_dim=n,
+                         type="naive-batch-norm") for _ in range(2)]
+    ref_head = RefLin(in_features=flat, out_features=flat, phm_dim=n)
+    for m in ref_norms:
+        m.train()
+
+    acts_ref = []
+    with torch.no_grad():
+        h = ref_enc(_to_t(x_cat)).reshape(N, flat)
+        acts_ref.append(h.numpy().copy())
+        for li in range(2):
+            msgs = h[torch.from_numpy(senders)] + _to_t(edge_emb)
+            aggr = torch.zeros(N, flat)
+            aggr.index_add_(0, torch.from_numpy(receivers), msgs)
+            h = ref_mlps[li](aggr + h)
+            h = ref_norms[li](h)
+            h = torch.relu(h)
+            acts_ref.append(h.numpy().copy())
+        pooled = torch.zeros(G, flat)
+        pooled.index_add_(0, torch.from_numpy(gids), h)
+        out_ref = ref_head(pooled).numpy()
+        acts_ref.append(out_ref)
+
+    # ---- our side with the same weights
+    def lin_params(ref):
+        return {"W": jnp.asarray(ref.W.detach().numpy()),
+                "phm_rule": jnp.asarray(ref.phm_rule.detach().numpy()),
+                "b": jnp.asarray(ref.b.detach().numpy())}
+
+    enc = PHMEncoder(out_dim=d, input_dims=[5, 5], phm_dim=n)
+    enc_params = {"params": {}}
+    for c in range(n):
+        e = ref_enc.encoders[c]
+        enc_params["params"][f"encoder_{c}"] = {"integer": {
+            f"embedding_{i}": jnp.asarray(e.embeddings[i].weight.detach().numpy())
+            for i in range(2)}}
+    h = enc.apply(enc_params, jnp.asarray(x_cat.astype(np.int32)))
+    h = h.reshape(N, flat)
+    np.testing.assert_allclose(np.asarray(h), acts_ref[0], rtol=1e-5, atol=1e-6)
+
+    conv = PHMGINEConv(in_features=flat, out_features=flat, phm_dim=n,
+                       aggr="sum", norm=None, activation="relu")
+    norm = PHMNorm(num_features=flat, phm_dim=n, norm_type="naive-batch-norm")
+    for li in range(2):
+        conv_params = {"params": {"transform": {
+            "linear1": lin_params(ref_mlps[li].linear1),
+            "linear2": lin_params(ref_mlps[li].linear2)}}}
+        h = conv.apply(conv_params, h, jnp.asarray(senders),
+                       jnp.asarray(receivers), jnp.asarray(edge_emb))
+        nv = norm.init(jax.random.key(0), h, training=True)
+        h, _ = norm.apply(nv, h, training=True, mutable=["batch_stats"])
+        h = jax.nn.relu(h)
+        np.testing.assert_allclose(np.asarray(h), acts_ref[1 + li],
+                                   rtol=5e-3, atol=5e-4)
+
+    pooled = jax.ops.segment_sum(h, jnp.asarray(gids.astype(np.int32)),
+                                 num_segments=G)
+    head = PHMLinear(in_features=flat, out_features=flat, phm_dim=n)
+    out = head.apply({"params": lin_params(ref_head)}, pooled)
+    np.testing.assert_allclose(np.asarray(out), acts_ref[-1], rtol=5e-3,
+                               atol=5e-4)
