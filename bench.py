@@ -69,9 +69,12 @@ def main():
     steps_per_s = 1.0 / per_step
     edges_per_s = real_edges * steps_per_s
 
-    # roofline estimate: GEMM FLOPs (fwd 2x, bwd 4x more) at the measured
-    # ~158 TFLOP/s matmul rate, plus edge+node traffic at ~800 GB/s HBM
-    n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, 4 * dim
+    # crude roofline lower bound: GEMM FLOPs (fwd + ~2x bwd) at the measured
+    # ~158 TFLOP/s large-matmul rate, plus edge+node activation traffic at
+    # ~800 GB/s HBM.  d is the FLAT feature width (mp_units are flat n*d/n
+    # sizes).  Small 200-wide GEMMs and per-op overheads run well below these
+    # peaks, so the achievable bound is looser than this number suggests.
+    n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, dim
     layers = 4
     gemm_flops = 3 * 2 * layers * 2 * n_nodes * d * d  # fwd+bwd, 2 linears
     # per layer fwd: gather + msgs + ~4 segment passes; bwd ~ same again

@@ -142,6 +142,12 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     return p
 
 
+def label_dim(cfg: ExperimentConfig) -> int:
+    """Stored label width per graph: CE keeps a single integer class id while
+    the model emits cfg.target_dim logits."""
+    return 1 if cfg.loss == "ce" else cfg.target_dim
+
+
 def config_from_args(dataset: str, args) -> ExperimentConfig:
     d = dict(DATASET_DEFAULTS[dataset])
     cfg = ExperimentConfig(dataset=dataset, **d)
@@ -222,11 +228,9 @@ def run_benchmark(dataset: str, argv=None):
         avg_deg = avg_deg_from_histogram(degree_histogram(splits["train"]))
         log.info("pna avg_deg: %s", avg_deg)
 
-    # CE stores a single integer class label per graph; the model's
-    # target_dim is the number of classes (logit width), not the label width
-    label_dim = 1 if cfg.loss == "ce" else cfg.target_dim
+    ld = label_dim(cfg)
     bucket = compute_bucket_spec(splits["train"], cfg.batch_size,
-                                 target_dim=label_dim)
+                                 target_dim=ld)
     if cfg.max_nodes:
         bucket.num_nodes = cfg.max_nodes
     if cfg.max_edges:
@@ -234,7 +238,7 @@ def run_benchmark(dataset: str, argv=None):
     log.info("bucket: %s", bucket)
     eval_bs = cfg.eval_batch_size or cfg.batch_size
     eval_bucket = compute_bucket_spec(
-        splits["valid"] + splits["test"], eval_bs, target_dim=label_dim)
+        splits["valid"] + splits["test"], eval_bs, target_dim=ld)
 
     def train_batches(seed):
         return PaddedLoader(splits["train"], bucket, shuffle=True, seed=seed,

@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from benchmarks.common import config_from_args, get_parser, load_splits
+from benchmarks.common import (config_from_args, get_parser, label_dim,
+                               load_splits)
 from phc_gnn_tpu.data import PaddedLoader, compute_bucket_spec
 from phc_gnn_tpu.train import (
     CheckpointManager,
@@ -35,9 +36,8 @@ def main():
     cfg = config_from_args(dataset, args)
 
     splits, atom_dims, bond_dims, transform = load_splits(dataset, args.data_root)
-    label_dim = 1 if cfg.loss == "ce" else cfg.target_dim
     bucket = compute_bucket_spec(splits["test"], cfg.batch_size,
-                                 target_dim=label_dim)
+                                 target_dim=label_dim(cfg))
 
     def batches():
         return PaddedLoader(splits["test"], bucket, transform=transform)

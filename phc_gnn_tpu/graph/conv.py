@@ -278,8 +278,12 @@ class PHMPNAConvSimple(nn.Module):
                         self.shared_rule, self.dtype, name="post_0")(out, phm_rule)
         for i in range(1, self.post_layers):
             if self.norm not in (None, "None"):
+                # the reference hardcodes naive-batch-norm in the PNA post
+                # stack regardless of the configured norm
+                # (messagepassing.py:391) — match it
                 out = PHMNorm(num_features=self.out_features, phm_dim=self.phm_dim,
-                              norm_type=self.norm, name=f"post_norm_{i}")(
+                              norm_type="naive-batch-norm",
+                              name=f"post_norm_{i}")(
                     out, training=training, mask=node_mask)
             out = get_activation(self.activation)(out)
             out = PHMLinear(self.out_features, self.out_features, self.phm_dim,

@@ -31,6 +31,7 @@ def initialize(coordinator_address: Optional[str] = None,
     process_count() first (that instantiates the local-only backend and makes
     distributed init fail).
     """
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
@@ -39,10 +40,16 @@ def initialize(coordinator_address: Optional[str] = None,
         # jax 0.9 wording: "distributed.initialize should only be called once."
         if "already" in msg or "once" in msg:
             return  # initialized earlier in this process — fine
+        if explicit:
+            # an intentional multi-host setup must fail fast, not silently
+            # degrade to N uncoordinated single-host trainings
+            raise
         log.warning("jax.distributed.initialize failed (%s); proceeding "
-                    "single-host — multi-host runs will be UNCOORDINATED", e)
+                    "single-host", e)
         return
-    except Exception as e:  # single-host dev boxes without coordinator
+    except Exception as e:
+        if explicit:
+            raise
         log.info("jax.distributed not initialized (%s); single-host mode", e)
         return
     log.info("jax.distributed: process %d/%d, %d local / %d global devices",

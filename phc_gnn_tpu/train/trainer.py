@@ -103,7 +103,12 @@ def _trim_jsonl(path: str, start_epoch: int):
     if start_epoch == 0:
         os.remove(path)
         return
-    rows = [json.loads(l) for l in open(path)]
+    rows = []
+    for line in open(path):
+        try:
+            rows.append(json.loads(line))
+        except json.JSONDecodeError:
+            continue  # truncated trailing line from a killed process
     with open(path, "w") as f:
         for r in rows:
             if r.get("epoch", -1) < start_epoch:
@@ -212,8 +217,7 @@ class Trainer:
                      run_idx, start_epoch, scheduler.lr, best_val)
         _trim_jsonl(os.path.join(run_dir, "scalars.jsonl"), start_epoch)
         _trim_jsonl(os.path.join(run_dir, "weights.jsonl"), start_epoch)
-        if (resume and np.isfinite(best_val)
-                and os.path.exists(os.path.join(run_dir, "ckpt", "best"))):
+        if resume and os.path.exists(os.path.join(run_dir, "ckpt", "best")):
             # test@bestval must use the best export's params, not the latest
             slim = {"params": state.params, "batch_stats": state.batch_stats}
             abstract = jax.tree_util.tree_map(
@@ -221,6 +225,12 @@ class Trainer:
             restored = ckpt.restore_best(abstract)
             best_state = state.replace(params=restored["params"],
                                        batch_stats=restored["batch_stats"])
+            if not np.isfinite(best_val):
+                # pre-scheduler-state checkpoint: recover the best metric so
+                # the first resumed epoch cannot overwrite a better export
+                best_val = self.evaluate(best_state,
+                                         self.valid_batches())[cfg.metric]
+                log.info("recovered best_val %.4f from best export", best_val)
         if best_state is None:
             best_state = state
         scalars_path = os.path.join(run_dir, "scalars.jsonl")

