@@ -65,6 +65,23 @@ def edge_partition_specs(has_y: bool = True) -> GraphsTuple:
         y=P() if has_y else None)
 
 
+def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool):
+    """shard_map a device step twice (labeled / unlabeled batch specs) and
+    dispatch on batch.y at trace time — shared by the ep and dp_ep steps."""
+    step_y = shard_map(device_step, mesh=mesh,
+                       in_specs=(P(), specs_fn(True), P()),
+                       out_specs=(P(), P()), check_vma=False)
+    step_no_y = shard_map(device_step, mesh=mesh,
+                          in_specs=(P(), specs_fn(False), P()),
+                          out_specs=(P(), P()), check_vma=False)
+
+    def dispatch(state, batch, lr):
+        step = step_y if batch.y is not None else step_no_y
+        return step(state, batch, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+
+
 def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                        weight_decay: float = 0.0, weight_decay2: float = 0.0,
                        reg_p: int = 2, donate: bool = True):
@@ -86,20 +103,7 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss
 
-    sharded_step_y = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), edge_partition_specs(True), P()),
-        out_specs=(P(), P()), check_vma=False)
-    sharded_step_no_y = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), edge_partition_specs(False), P()),
-        out_specs=(P(), P()), check_vma=False)
-
-    def dispatch(state, batch, lr):
-        step = sharded_step_y if batch.y is not None else sharded_step_no_y
-        return step(state, batch, lr)
-
-    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+    return _jit_y_dispatch(device_step, mesh, edge_partition_specs, donate)
 
 
 def make_dp_ep_batch_specs(has_y: bool = True) -> GraphsTuple:
@@ -138,17 +142,4 @@ def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         return state.replace(params=new_params, batch_stats=new_stats,
                              opt_state=new_opt_state, step=state.step + 1), loss
 
-    step_y = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), make_dp_ep_batch_specs(True), P()),
-        out_specs=(P(), P()), check_vma=False)
-    step_no_y = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), make_dp_ep_batch_specs(False), P()),
-        out_specs=(P(), P()), check_vma=False)
-
-    def dispatch(state, batch, lr):
-        step = step_y if batch.y is not None else step_no_y
-        return step(state, batch, lr)
-
-    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+    return _jit_y_dispatch(device_step, mesh, make_dp_ep_batch_specs, donate)
