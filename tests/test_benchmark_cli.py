@@ -155,3 +155,35 @@ def test_ce_dataset_end_to_end(tmp_path):
         "--mp_units", "8,8", "--d_units", "8", "--dropout_mpnn", "0.0,0.0",
         "--dropout_dn", "0.0", "--target_dim", "3"])
     assert np.isfinite(summary["best_val"]["mean"])
+
+
+def test_inference_cli_restores_best(tmp_path, zinc_root):
+    """Train briefly, then run the inference entry point against the best
+    export; its metric must match the training run's test@bestval."""
+    save = str(tmp_path / "exp")
+    from benchmarks.common import run_benchmark
+    summary = run_benchmark("zinc", [
+        "--data_root", zinc_root, "--save_dir", save,
+        "--epochs", "2", "--batch_size", "8", "--input_embed_dim", "16",
+        "--mp_units", "16,16", "--d_units", "16", "--dropout_mpnn", "0.0,0.0",
+        "--dropout_dn", "0.0", "--lr", "1e-3"])
+
+    import io
+    from contextlib import redirect_stdout
+    import benchmarks.inference as inf
+    buf = io.StringIO()
+    argv = sys.argv
+    try:
+        sys.argv = ["inference.py", "zinc", "--data_root", zinc_root,
+                    "--save_dir", save, "--run", "1",
+                    "--input_embed_dim", "16", "--mp_units", "16,16",
+                    "--d_units", "16", "--dropout_mpnn", "0.0,0.0",
+                    "--dropout_dn", "0.0"]
+        with redirect_stdout(buf):
+            inf.main()
+    finally:
+        sys.argv = argv
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["dataset"] == "zinc"
+    np.testing.assert_allclose(result["mae"],
+                               summary["test_bestval"]["mean"], rtol=1e-4)

@@ -163,3 +163,12 @@ def test_dp_ep_combined_step():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-5)
+
+
+def test_multihost_initialize_single_host_graceful():
+    """Auto-discovery initialize() on a dev box must not raise (backends are
+    already live in this process)."""
+    from phc_gnn_tpu.parallel import initialize, is_primary
+
+    initialize()  # no coordinator args -> graceful single-host path
+    assert is_primary() in (True, False)
