@@ -82,3 +82,65 @@ def test_pack_batch_overflow():
                                  np.zeros(0, np.int32), np.zeros(0, np.int32),
                                  np.asarray([0, 10], np.int64),
                                  np.asarray([0, 0], np.int64), 8, 8, 4)
+
+
+def test_pack_batch_fuzz_matches_python():
+    """Randomized stress: many batch shapes/degree distributions, native packer
+    must match the python batcher exactly."""
+    from phc_gnn_tpu.graph.batch import batch_graphs
+
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        n_graphs = int(rng.integers(1, 12))
+        graphs = []
+        for _ in range(n_graphs):
+            n = int(rng.integers(1, 30))
+            e = int(rng.integers(0, 80))
+            graphs.append({
+                "x": rng.integers(0, 9, size=(n, int(rng.integers(1, 4)))).astype(np.int32),
+                "edge_index": rng.integers(0, n, size=(2, e)).astype(np.int32),
+                "edge_attr": rng.integers(0, 5, size=(e, 2)).astype(np.int32),
+                "y": None,
+            })
+        # uniform feature widths within a batch
+        fx = graphs[0]["x"].shape[1]
+        for g in graphs:
+            g["x"] = g["x"][:, :1].repeat(fx, axis=1)
+        total_n = sum(g["x"].shape[0] for g in graphs)
+        total_e = sum(g["edge_index"].shape[1] for g in graphs)
+        nn = total_n + int(rng.integers(1, 20))
+        ne = total_e + int(rng.integers(0, 20))
+        ng = n_graphs + int(rng.integers(1, 4))
+        want = batch_graphs(graphs, nn, ne, ng)
+
+        node_feats = np.concatenate([g["x"] for g in graphs])
+        edge_feats = np.concatenate([g["edge_attr"] for g in graphs])
+        senders = np.concatenate([g["edge_index"][0] for g in graphs])
+        receivers = np.concatenate([g["edge_index"][1] for g in graphs])
+        node_off = np.concatenate([[0], np.cumsum([g["x"].shape[0] for g in graphs])])
+        edge_off = np.concatenate([[0], np.cumsum([g["edge_index"].shape[1] for g in graphs])])
+        out = native.pack_batch_native(node_feats, edge_feats, senders,
+                                       receivers, node_off, edge_off, nn, ne, ng)
+        np.testing.assert_array_equal(out["nodes"], np.asarray(want.nodes), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(out["senders"], np.asarray(want.senders), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(out["receivers"], np.asarray(want.receivers), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(out["edges"], np.asarray(want.edges), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(out["graph_ids"], np.asarray(want.graph_ids), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(out["edge_mask"].astype(bool),
+                                      np.asarray(want.edge_mask), err_msg=f"trial {trial}")
+
+
+def test_segment_plan_fuzz_matches_python():
+    from phc_gnn_tpu.ops.fused_segment import build_segment_plan
+
+    rng = np.random.default_rng(321)
+    for trial in range(15):
+        n = int(rng.choice([128, 256, 512]))
+        e = int(rng.integers(0, 4 * n))
+        recv = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+        got = native.build_segment_plan_native(recv, n, 128, 64)
+        want = build_segment_plan(recv, n, 128, 64)
+        np.testing.assert_array_equal(got.edge_perm, want.edge_perm, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got.recv_local, want.recv_local, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got.block_tile, want.block_tile, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(got.block_first, want.block_first, err_msg=f"trial {trial}")
