@@ -63,3 +63,29 @@ def quat_qr(a1: np.ndarray, a2: np.ndarray, a3: np.ndarray, a4: np.ndarray):
         b[idx, :] = b[idx, :] - (beta1 * u) @ (u.T @ b[idx, :])
         q[idx, :] = q[idx, :] - (beta1 * u) @ (u.T @ q[idx, :])
     return q, b
+
+
+def grs_givens(g1: float, g2: float, g3: float, g4: float) -> np.ndarray:
+    """Real representation of the unit quaternion rotating (g1..g4) onto the
+    real axis — the Givens step of the structure-preserving QR
+    (reference: phc/quaternion/qr.py:53-62)."""
+    if g2 == g3 == g4 == 0.0:
+        return np.eye(4)
+    g = real_p(np.asarray([[g1]]), np.asarray([[g2]]),
+               np.asarray([[g3]]), np.asarray([[g4]]))
+    return g / np.sqrt(g1 * g1 + g2 * g2 + g3 * g3 + g4 * g4)
+
+
+def quat_qr_givens(a1, a2, a3, a4):
+    """QR with the optional Givens post-rotation making R's diagonal real
+    (reference: phc/quaternion/qr.py givens=True path)."""
+    q, r = quat_qr(a1, a2, a3, a4)
+    m = np.asarray(a1).shape[0]
+    n = np.asarray(a1).shape[1]
+    for j in range(n):
+        g = grs_givens(r[0 * m + j, j], r[1 * m + j, j],
+                       r[2 * m + j, j], r[3 * m + j, j])
+        rows = [j, j + m, j + 2 * m, j + 3 * m]
+        r[rows, :] = g.T @ r[rows, :]
+        q[rows, :] = g.T @ q[rows, :]
+    return q, r

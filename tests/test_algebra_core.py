@@ -233,3 +233,21 @@ def test_layout_bijection():
     assert s.shape == (2, 4, 3)
     np.testing.assert_array_equal(s[0, 1], [3, 4, 5])
     np.testing.assert_array_equal(to_flat(s), x)
+
+
+def test_quat_qr_givens_real_diagonal():
+    """Givens-rotated R has a real non-negative diagonal (imaginary diagonal
+    components vanish) while Q stays orthogonal."""
+    from phc_gnn_tpu.hypercomplex.qr import quat_qr_givens
+
+    rng = np.random.default_rng(13)
+    m = 5
+    a = rng.normal(size=(4, m, m))
+    q, r = quat_qr_givens(a[0], a[1], a[2], a[3])
+    for j in range(m):
+        # imaginary parts of R[j, j] are (numerically) zero
+        for c in (1, 2, 3):
+            assert abs(r[c * m + j, j]) < 1e-8, (c, j)
+    qs = [q[c * m:(c + 1) * m] for c in range(4)]
+    rq = real_p(qs[0] / 2.0, qs[1] / 2.0, qs[2] / 2.0, qs[3] / 2.0)
+    np.testing.assert_allclose(rq @ rq.T, np.eye(4 * m), atol=1e-8)
