@@ -93,6 +93,14 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
     b = pl.program_id(0)
     be = vals_ref.shape[0]
 
+    # scratch persists across grid steps but starts uninitialized: zero it on
+    # the first step (gate*garbage would still be NaN for garbage=NaN)
+    @pl.when(b == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        if carry2 is not None:
+            carry2[...] = jnp.zeros_like(carry2)
+
     f = flags_ref[...]  # [BE, 1] 1.0 = segment start
     # barrier at row 0: within-block scan treats row 0 as a start
     row0 = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0) == 0)
@@ -120,11 +128,19 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
 
     # continuation: add the carried trailing-segment sum to every row of this
     # block's FIRST run (rows before the first in-block boundary).
-    # s0[i] = 1 iff no segment start among rows 1..i.
+    # s0[i] = 1 iff no segment start among rows 1..i — an inclusive prefix-max
+    # of the flags via the same log-shift doubling (cumsum has no Pallas TPU
+    # lowering).
     fl = flags_ref[...]
     fl = jnp.where(row0, 0.0, fl)
-    anystart = jnp.cumsum(fl, axis=0)  # [BE, 1] count of starts in 1..i
-    s0 = (anystart == 0.0).astype(v1.dtype)
+    s = 1
+    while s < be:
+        fs = pltpu.roll(fl, s, axis=0)
+        shifted_valid = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+                         >= s).astype(fl.dtype)
+        fl = jnp.maximum(fl, fs * shifted_valid)
+        s *= 2
+    s0 = (fl == 0.0).astype(v1.dtype)
     use_carry = (b > 0) & (cont_ref[b] == 1)
     gate = jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
     v1 = v1 + s0 * gate * carry[0:1, :]

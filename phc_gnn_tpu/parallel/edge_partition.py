@@ -6,8 +6,10 @@ while node arrays are replicated.  Every conv's segment reduction produces a
 partial node aggregate from the local edge shard, combined exactly across chips
 by the collectives built into phc_gnn_tpu.graph.segment (psum / pmax / pmin,
 including the two-pass distributed segment softmax).  Parameters and node
-compute are replicated; gradients arrive identical on every chip by the psum in
-the backward pass of the aggregation collectives.
+compute are replicated.  Gradients: each shard's raw grad is ep_size x (its own
+edge shard's contribution) — the forward psum transposes to a psum under
+check_vma=False — so the train steps pmean over ep to recover the exact total
+gradient (see make_ep_train_step).
 
 This is the BASELINE.json north-star scheme (boundary information exchanged
 over ICI, overlapped with local aggregation by XLA's latency-hiding scheduler).
@@ -96,8 +98,13 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
             state.batch_stats, batch, rng, lr)
         (loss, (_, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
-        # grads already identical across ep (aggregation collectives carry the
-        # cross-shard terms); average defensively to kill fp drift
+        # This pmean is LOAD-BEARING, not defensive.  Under check_vma=False the
+        # transpose of the forward psum (graph/segment.py collectives) is again
+        # a psum, so each shard's raw grad equals ep_size x (its own edge
+        # shard's contribution) — asymmetric across shards.  pmean = (1/S) x
+        # Sum_i S x partial_i = the exact total gradient.  Pinned by
+        # tests/test_parallel.py::test_ep_pmean_grads_equal_single_device,
+        # which also witnesses that raw per-shard grads DIFFER.
         grads = jax.lax.pmean(grads, "ep")
         new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
         return state.replace(params=new_params, batch_stats=new_stats,
@@ -123,7 +130,8 @@ def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
 
     The batch is device-stacked along a leading dp axis; within each dp shard
     the edge arrays are additionally sharded over ep.  The model must be built
-    with ``edge_axis='ep'``; gradients pmean over both axes.
+    with ``edge_axis='ep'``; gradients pmean over both axes (ep to reconstruct
+    the exact grad from S x partial shards, dp to average data shards).
     """
 
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
@@ -135,6 +143,8 @@ def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
             state.batch_stats, batch, rng, lr)
         (loss, (_, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
+        # ep pmean reconstructs the exact grad from Sxpartial shards (see
+        # make_ep_train_step); dp pmean then averages across data shards
         grads = jax.lax.pmean(jax.lax.pmean(grads, "ep"), "dp")
         loss = jax.lax.pmean(loss, "dp")
         new_stats = jax.lax.pmean(new_stats, "dp")

@@ -62,9 +62,13 @@ def test_ep_matches_single_device():
     batch = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=1)
     batch = partition_edges(batch, 8)
 
-    # single-device oracle (no edge_axis)
+    # single-device oracle (no edge_axis).  Plain SGD: with Adam, near-zero
+    # grads amplify cross-ordering fp noise into +-lr sign flips at step 1,
+    # which would need a tolerance loose enough to hide real bugs.  SGD keeps
+    # param deltas proportional to grads, so grad errors show at full size.
+    import optax
     model_1 = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, **MODEL_KW)
-    tx = make_optimizer(1e-3)
+    tx = optax.chain(optax.scale(-1.0))
     state = create_train_state(model_1, tx, batch, jax.random.key(0))
     step_1 = make_train_step(model_1, tx, loss_fn, donate=False)
     new_1, loss_1, _ = step_1(state, batch, jnp.float32(1e-3))
@@ -81,6 +85,62 @@ def test_ep_matches_single_device():
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-4,
                                    atol=1e-5)
+
+
+def test_ep_pmean_grads_equal_single_device():
+    """Pins the EP gradient semantics (VERDICT r1 #9, investigated round 2):
+    under check_vma=False the forward psum transposes to a psum, so each
+    shard's raw grad is ep_size x (its own edge shard's contribution) — the
+    shards genuinely DIFFER (witnessed below), and the pmean in
+    make_ep_train_step is the exact reconstruction of the total gradient, not
+    a defensive average.  pmean(shard grads) must match the single-device
+    grads; if the raw shards ever become identical, the second assertion
+    fails loudly so the semantics get re-examined rather than silently
+    changed."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from phc_gnn_tpu.parallel.edge_partition import edge_partition_specs
+    from phc_gnn_tpu.train.state import make_loss_and_aux
+
+    mesh = make_mesh(dp=1, ep=8)
+    batch = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=3)
+    batch = partition_edges(batch, 8)
+    model_ep = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, edge_axis="ep",
+                      **MODEL_KW)
+    # init outside shard_map needs an axis-free twin (identical param tree)
+    model_1 = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, **MODEL_KW)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(model_1, tx, batch, jax.random.key(0))
+    rng = jax.random.key(7)
+
+    def per_shard_grads(params, b):
+        laa = make_loss_and_aux(model_ep, loss_fn, 0.0, 0.0, 2,
+                                state.batch_stats, b, rng, jnp.float32(1e-3))
+        _, grads = jax.value_and_grad(laa, has_aux=True)(params)
+        # tag each shard's grads with a leading shard axis so out_specs can
+        # expose all raw (un-pmeaned) shard grads for comparison
+        return jax.tree_util.tree_map(lambda g: g[None], grads)
+
+    shard_grads = shard_map(per_shard_grads, mesh=mesh,
+                            in_specs=(P(), edge_partition_specs(True)),
+                            out_specs=P("ep"), check_vma=False)(
+                                state.params, batch)
+
+    laa_1 = make_loss_and_aux(model_1, loss_fn, 0.0, 0.0, 2, state.batch_stats,
+                              batch, rng, jnp.float32(1e-3))
+    _, grads_1 = jax.value_and_grad(laa_1, has_aux=True)(state.params)
+
+    spread = 0.0
+    for sg, g1 in zip(jax.tree_util.tree_leaves(shard_grads),
+                      jax.tree_util.tree_leaves(grads_1)):
+        sg = np.asarray(sg)
+        np.testing.assert_allclose(sg.mean(axis=0), np.asarray(g1),
+                                   rtol=5e-4, atol=1e-6)
+        spread = max(spread, float(np.abs(sg[0] - sg[1]).max()))
+    assert spread > 1e-3, (
+        "raw per-shard grads are now identical — the pmean-reconstruction "
+        f"semantics changed (spread {spread:.2e}); re-derive before removing "
+        "the pmean")
 
 
 def test_ep_softmax_aggregation_exact_across_shards():

@@ -1,0 +1,112 @@
+"""Streaming segmented-scan kernel (ops/stream_scan.py) vs the XLA composites.
+
+Runs in Pallas interpret mode on CPU; exactness bar mirrors
+tests/test_pallas_ops.py for the round-1 kernels."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phc_gnn_tpu.graph.aggregators import softmax_aggregate
+from phc_gnn_tpu.graph.segment import segment_sum
+from phc_gnn_tpu.ops.stream_scan import (
+    build_scan_plan,
+    segment_sum_streamed,
+    softmax_aggregate_streamed,
+)
+
+
+def _case(seed, E, N, D, frac_masked=0.2, block=128):
+    rng = np.random.default_rng(seed)
+    recv = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    mask = rng.random(E) > frac_masked
+    # padding edges attach to the last receiver value, mask False (as the
+    # batcher emits); keep sortedness
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    return (jnp.asarray(msgs), jnp.asarray(recv), jnp.asarray(flags),
+            jnp.asarray(cont), jnp.asarray(last), jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("E,N,D,block", [
+    (300, 64, 48, 128),     # unaligned E, multi-block
+    (1024, 256, 128, 256),  # aligned
+    (90, 640, 20, 128),     # many empty segments, single block
+])
+def test_segment_sum_streamed_matches_xla(E, N, D, block):
+    msgs, recv, flags, cont, last, mask = _case(0, E, N, D, block=block)
+    want = segment_sum(msgs, recv, N, mask)
+    got = segment_sum_streamed(msgs, recv, flags, cont, last, N,
+                               edge_mask=mask, block_edges=block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_segment_sum_streamed_single_segment_spanning_blocks():
+    """One giant segment crossing many carry boundaries."""
+    E, N, D, block = 700, 4, 16, 128
+    rng = np.random.default_rng(1)
+    recv = np.full(E, 2, np.int32)
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    got = segment_sum_streamed(jnp.asarray(msgs), jnp.asarray(recv),
+                               jnp.asarray(flags), jnp.asarray(cont),
+                               jnp.asarray(last), N, block_edges=block)
+    want = np.zeros((N, D), np.float32)
+    want[2] = msgs.sum(0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_streamed_grad_is_gather():
+    E, N, D, block = 260, 32, 24, 128
+    msgs, recv, flags, cont, last, mask = _case(2, E, N, D, block=block)
+
+    def f(m):
+        return jnp.sum(segment_sum_streamed(
+            m, recv, flags, cont, last, N, edge_mask=mask,
+            block_edges=block) ** 2)
+
+    def f_ref(m):
+        return jnp.sum(segment_sum(m, recv, N, mask) ** 2)
+
+    g = jax.grad(f)(msgs)
+    g_ref = jax.grad(f_ref)(msgs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("E,N,D,block", [
+    (300, 64, 48, 128),
+    (1024, 256, 128, 256),
+])
+def test_softmax_aggregate_streamed_matches_composite(E, N, D, block):
+    msgs, recv, flags, cont, last, mask = _case(3, E, N, D, block=block)
+    beta = 1.3
+    want = softmax_aggregate(msgs, recv, N, beta, mask)
+    got = softmax_aggregate_streamed(msgs, recv, flags, cont, last, N, beta,
+                                     edge_mask=mask, block_edges=block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_softmax_aggregate_streamed_grads_match_composite():
+    E, N, D, block = 300, 64, 32, 128
+    msgs, recv, flags, cont, last, mask = _case(4, E, N, D, block=block)
+    beta0 = jnp.float32(0.8)
+
+    def f(m, b):
+        out = softmax_aggregate_streamed(m, recv, flags, cont, last, N, b,
+                                         edge_mask=mask, block_edges=block)
+        return jnp.sum(jnp.sin(out))
+
+    def f_ref(m, b):
+        out = softmax_aggregate(m, recv, N, b, mask)
+        return jnp.sum(jnp.sin(out))
+
+    gm, gb = jax.grad(f, argnums=(0, 1))(msgs, beta0)
+    gm_ref, gb_ref = jax.grad(f_ref, argnums=(0, 1))(msgs, beta0)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(gb), float(gb_ref), rtol=2e-3, atol=1e-4)
