@@ -40,6 +40,10 @@ def main():
 
     batch = synthetic_batch(batch_size=128, num_nodes=4096, num_edges=8192,
                             seed=0)
+    if jax.default_backend() == "tpu":
+        # streaming segmented-scan aggregation kernel (ops/stream_scan.py)
+        from phc_gnn_tpu.ops.stream_scan import attach_scan_plan
+        batch = attach_scan_plan(batch)
     real_edges = int(batch.count_edges())
 
     tx = make_optimizer(1e-3, grad_clip=2.0)

@@ -136,6 +136,17 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--max_time", dest="max_time_hours", type=float,
                    default=cfg.max_time_hours)
     p.add_argument("--scan_chunk", type=int, default=getattr(cfg, "scan_chunk", 0))
+    # multi-chip (TPU-native; no reference counterpart)
+    p.add_argument("--dp", type=int, default=cfg.dp,
+                   help="data-parallel mesh axis (devices)")
+    p.add_argument("--ep", type=int, default=cfg.ep,
+                   help="edge-partition mesh axis (devices)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each run from its latest checkpoint")
+    p.add_argument("--agg_kernel", type=str, default=cfg.agg_kernel,
+                   choices=["auto", "stream", "xla"],
+                   help="segment aggregation kernel (auto: streaming Pallas "
+                        "scan on TPU, XLA composite elsewhere)")
     # activation
     p.add_argument("--activation", type=str, default=cfg.activation,
                    choices=["relu", "lrelu", "elu", "selu", "swish"])
@@ -240,18 +251,30 @@ def run_benchmark(dataset: str, argv=None):
     eval_bucket = compute_bucket_spec(
         splits["valid"] + splits["test"], eval_bs, target_dim=ld)
 
+    # streaming-scan aggregation plan: attach when the kernel will actually
+    # run (TPU backend, or forced); edge partitioning strips it (the sharded
+    # path uses the collective-aware generic segment ops)
+    import jax as _jax
+    use_scan = (cfg.agg_kernel == "stream"
+                or (cfg.agg_kernel == "auto"
+                    and _jax.default_backend() == "tpu"))
+    if cfg.ep > 1:
+        use_scan = False
+
     def train_batches(seed):
         return PaddedLoader(splits["train"], bucket, shuffle=True, seed=seed,
-                            transform=transform)
+                            transform=transform, scan_plan=use_scan)
 
     def valid_batches():
-        return PaddedLoader(splits["valid"], eval_bucket, transform=transform)
+        return PaddedLoader(splits["valid"], eval_bucket, transform=transform,
+                            scan_plan=use_scan)
 
     def test_batches():
-        return PaddedLoader(splits["test"], eval_bucket, transform=transform)
+        return PaddedLoader(splits["test"], eval_bucket, transform=transform,
+                            scan_plan=use_scan)
 
     model = build_model(cfg, atom_dims, bond_dims, avg_deg=avg_deg)
     trainer = Trainer(cfg, model, train_batches, valid_batches, test_batches)
-    summary = trainer.run()
+    summary = trainer.run(resume=getattr(args, "resume", False))
     log.info("summary: %s", summary)
     return summary

@@ -77,7 +77,8 @@ class PaddedLoader:
                  transform: Optional[Callable[[dict], dict]] = None,
                  drop_last: bool = False, sub_buckets: int = 1,
                  align: int = 128, plan_layout: bool = False,
-                 tile_nodes: int = 128, block_edges: int = 128):
+                 tile_nodes: int = 128, block_edges: int = 128,
+                 scan_plan: bool = False, scan_block: int = 512):
         self.graphs = graphs
         self.bucket = bucket
         self.shuffle = shuffle
@@ -87,6 +88,8 @@ class PaddedLoader:
         self.plan_layout = plan_layout
         self.tile_nodes = tile_nodes
         self.block_edges = block_edges
+        self.scan_plan = scan_plan
+        self.scan_block = scan_block
         self.ladder = [bucket]
         for _ in range(sub_buckets - 1):
             prev = self.ladder[-1]
@@ -135,6 +138,9 @@ class PaddedLoader:
             out = apply_plan_layout(
                 out, self.tile_nodes, self.block_edges,
                 plan_blocks_for_bucket(b, self.tile_nodes, self.block_edges))
+        elif self.scan_plan:
+            from phc_gnn_tpu.ops.stream_scan import attach_scan_plan
+            out = attach_scan_plan(out, self.scan_block)
         return out
 
     def _pack_raw(self, graphs: List[dict], b: BucketSpec) -> GraphsTuple:

@@ -53,6 +53,11 @@ class GraphsTuple:
     recv_local: Optional[jax.Array] = None   # [E_pad] int32, tile-local rows
     block_tile: Optional[jax.Array] = None   # [NB] int32
     block_first: Optional[jax.Array] = None  # [NB] int32
+    # streaming-scan plan (optional; ops/stream_scan.py — requires edges
+    # sorted by receiver, which batch_graphs/the native packer guarantee)
+    scan_flags: Optional[jax.Array] = None   # [EB, 1] f32 segment starts
+    scan_cont: Optional[jax.Array] = None    # [NB] i32 block continuation bits
+    last_edge: Optional[jax.Array] = None    # [N_pad] i32 last edge per node (-1 none)
 
     @property
     def num_nodes(self) -> int:

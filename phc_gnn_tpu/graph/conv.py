@@ -53,9 +53,18 @@ def _messages(x, senders, edge_attr, msg_encoder: str):
 
 
 def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
-                  plan, tile_nodes):
-    """Softmax aggregation: fused Pallas kernel when the batch carries a plan
-    layout (single-chip), XLA composite otherwise."""
+                  plan, tile_nodes, scan_plan=None):
+    """Softmax aggregation, best kernel first: the streaming segmented-scan
+    (measured 1.66x over the XLA composite on TPU v5e, KERNELS.md) when the
+    batch carries a scan plan, the round-1 one-hot-tile kernel with a plan
+    layout, XLA composite otherwise (and always under edge partitioning)."""
+    if scan_plan is not None and edge_axis is None:
+        from phc_gnn_tpu.ops.stream_scan import softmax_aggregate_streamed
+
+        flags, cont, last_edge = scan_plan
+        return softmax_aggregate_streamed(
+            msgs, receivers, flags, cont, last_edge, num_nodes, beta,
+            edge_mask)
     if plan is not None and edge_axis is None:
         from phc_gnn_tpu.ops.fused_softmax import fused_softmax_aggregate_planned
 
@@ -64,6 +73,21 @@ def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
             msgs, beta, recv_local, block_tile, block_first, num_nodes,
             tile_nodes, receivers, edge_mask)
     return softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
+                             axis_name=edge_axis)
+
+
+def _fixed_aggr(msgs, receivers, num_nodes, edge_mask, edge_axis, aggr,
+                scan_plan=None):
+    """Fixed-reduce aggregation; 'sum' rides the streaming scan kernel
+    (measured 2.56x over XLA's sorted-scatter, KERNELS.md) when a scan plan is
+    present on a single chip."""
+    if aggr == "sum" and scan_plan is not None and edge_axis is None:
+        from phc_gnn_tpu.ops.stream_scan import segment_sum_streamed
+
+        flags, cont, last_edge = scan_plan
+        return segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
+                                    num_nodes, edge_mask)
+    return AGGREGATORS[aggr](msgs, receivers, num_nodes, edge_mask,
                              axis_name=edge_axis)
 
 
@@ -88,11 +112,11 @@ class PHMConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False):
+                 phm_rule=None, training: bool = False, scan_plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
-        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask,
-                                      axis_name=self.edge_axis)
+        aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
+                           self.edge_axis, self.aggr, scan_plan)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, self.dtype,
@@ -130,11 +154,12 @@ class PHMGINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, node_mask=None):
+                 phm_rule=None, training: bool = False, node_mask=None,
+                 scan_plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
-        aggr = AGGREGATORS[self.aggr](msgs, receivers, num_nodes, edge_mask,
-                                      axis_name=self.edge_axis)
+        aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
+                           self.edge_axis, self.aggr, scan_plan)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -168,14 +193,15 @@ class PHMConvSoftmax(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None):
+                 phm_rule=None, training: bool = False, plan=None,
+                 scan_plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
         aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
-                             self.edge_axis, plan, self.tile_nodes)
+                             self.edge_axis, plan, self.tile_nodes, scan_plan)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, self.dtype,
@@ -216,14 +242,14 @@ class PHMGINEConvSoftmax(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, plan=None,
-                 node_mask=None):
+                 node_mask=None, scan_plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
         aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
-                             self.edge_axis, plan, self.tile_nodes)
+                             self.edge_axis, plan, self.tile_nodes, scan_plan)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -325,7 +351,7 @@ class PHMMessagePassing(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, plan=None,
-                 node_mask=None):
+                 node_mask=None, scan_plan=None):
         aggr = "sum" if self.aggr == "add" else self.aggr
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
@@ -365,11 +391,15 @@ class PHMMessagePassing(nn.Module):
             if self.mlp:
                 return conv(x, senders, receivers, edge_attr, edge_mask,
                             phm_rule, training=training, plan=plan,
-                            node_mask=node_mask)
+                            node_mask=node_mask, scan_plan=scan_plan)
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                        training=training, plan=plan)
-        if self.mlp or aggr == "pna":
+                        training=training, plan=plan, scan_plan=scan_plan)
+        if aggr == "pna":
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                         training=training, node_mask=node_mask)
+        if self.mlp:
+            return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
+                        training=training, node_mask=node_mask,
+                        scan_plan=scan_plan)
         return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                    training=training)
+                    training=training, scan_plan=scan_plan)

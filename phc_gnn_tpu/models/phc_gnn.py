@@ -186,6 +186,9 @@ class PHCGNN(nn.Module):
         plan = None
         if graphs.recv_local is not None and self.edge_axis is None:
             plan = (graphs.recv_local, graphs.block_tile, graphs.block_first)
+        scan_plan = None
+        if graphs.scan_flags is not None and self.edge_axis is None:
+            scan_plan = (graphs.scan_flags, graphs.scan_cont, graphs.last_edge)
         atom = self.atomencoder(x_raw)  # [N, n, d]
         atom = atom.reshape(atom.shape[0], -1)  # flat [N, n*d]
         if self.compute_dtype is not None:
@@ -208,16 +211,18 @@ class PHCGNN(nn.Module):
                 edge_emb = edge_emb.astype(self.compute_dtype)
             if self.remat:
                 h = nn.remat(
-                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_: m(
+                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_, sp_: m(
                         x_, s_, r_, e_, em_, rule_, training=training,
-                        plan=plan_, node_mask=nm_))(
+                        plan=plan_, node_mask=nm_, scan_plan=sp_))(
                     self.convs[i], x, graphs.senders, graphs.receivers,
-                    edge_emb, graphs.edge_mask, rule, plan, graphs.node_mask)
+                    edge_emb, graphs.edge_mask, rule, plan, graphs.node_mask,
+                    scan_plan)
             else:
                 h = self.convs[i](x, graphs.senders, graphs.receivers,
                                   edge_emb, graphs.edge_mask, rule,
                                   training=training, plan=plan,
-                                  node_mask=graphs.node_mask)
+                                  node_mask=graphs.node_mask,
+                                  scan_plan=scan_plan)
             if self.norms[i] is not None:
                 h = self.norms[i](h, training=training, mask=graphs.node_mask)
             h = act(h)

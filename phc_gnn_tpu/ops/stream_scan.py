@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "attach_scan_plan",
     "build_scan_plan",
     "segment_sum_streamed",
     "softmax_aggregate_streamed",
@@ -81,6 +82,22 @@ def build_scan_plan(receivers: np.ndarray, num_nodes: int,
     if e > 0:
         last[receivers] = np.arange(e)  # ascending -> final write is the max
     return flags.reshape(-1, 1), cont, last.astype(np.int32)
+
+
+def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK):
+    """Host-side: build the streaming-scan plan for a padded GraphsTuple and
+    return a copy carrying it (scan_flags / scan_cont / last_edge — see
+    graph/batch.py).  Requires receiver-sorted edges (batch_graphs and the
+    native packer both guarantee it; asserted here)."""
+    import jax.numpy as jnp
+
+    recv = np.asarray(batch.receivers)
+    assert recv.ndim == 1 and np.all(recv[1:] >= recv[:-1]), \
+        "scan plan needs receiver-sorted edges"
+    flags, cont, last = build_scan_plan(recv, batch.num_nodes, block_edges)
+    return batch.replace(scan_flags=jnp.asarray(flags),
+                         scan_cont=jnp.asarray(cont),
+                         last_edge=jnp.asarray(last))
 
 
 def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,

@@ -2,9 +2,13 @@
 
 from phc_gnn_tpu.parallel.mesh import make_mesh, replicated, sharded
 from phc_gnn_tpu.parallel.dp import (
+    loss_weight,
+    make_dp_eval_step,
     make_dp_train_step,
+    make_dummy_batch,
     shard_batch,
     stack_batches,
+    weighted_mean,
 )
 from phc_gnn_tpu.parallel.edge_partition import (
     edge_partition_specs,

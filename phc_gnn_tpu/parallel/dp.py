@@ -2,14 +2,22 @@
 
 Each device holds one full padded GraphsTuple (arrays stacked with a leading
 device axis, sharded over ``dp``); the jitted step runs per-device
-forward/backward under shard_map, cross-device-means the gradients (psum/n) and
+forward/backward under shard_map, cross-device combines the gradients and
 the updated BN running stats, and applies one replicated optimizer update —
 gradient DP reduction riding ICI as in SURVEY.md section 5.8.
+
+Reductions are LOAD-WEIGHTED, not plain pmean: each shard contributes with
+weight = its number of valid loss terms (finite label entries, or valid graphs
+for CE), so ``grad = psum(w_i * g_i) / psum(w_i)`` equals the single-device
+gradient of the union batch exactly.  A shard holding a fully-masked dummy
+batch (see make_dummy_batch) has w = 0 and contributes nothing — this is what
+lets the harness pad the last partial device-group of an epoch instead of
+dropping data.  BN running stats are weighted by valid-node count likewise.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +27,9 @@ from jax import shard_map
 from phc_gnn_tpu.graph.batch import GraphsTuple
 from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
 
-__all__ = ["stack_batches", "shard_batch", "make_dp_train_step"]
+__all__ = ["stack_batches", "shard_batch", "make_dp_train_step",
+           "make_dp_eval_step", "make_dummy_batch", "loss_weight",
+           "weighted_mean"]
 
 
 def stack_batches(batches) -> GraphsTuple:
@@ -34,16 +44,50 @@ def shard_batch(stacked: GraphsTuple, mesh: Mesh) -> GraphsTuple:
         lambda x: jax.device_put(x, spec), stacked)
 
 
+def make_dummy_batch(batch: GraphsTuple) -> GraphsTuple:
+    """A fully-masked clone of ``batch`` (same shapes/dtypes): all masks False,
+    labels NaN.  Zero loss weight — contributes nothing to weighted DP
+    reductions.  Used to pad the last partial device-group of an epoch."""
+    return batch.replace(
+        node_mask=jnp.zeros_like(batch.node_mask),
+        edge_mask=jnp.zeros_like(batch.edge_mask),
+        graph_mask=jnp.zeros_like(batch.graph_mask),
+        y=(jnp.full_like(batch.y, jnp.nan)
+           if batch.y is not None and jnp.issubdtype(batch.y.dtype, jnp.floating)
+           else batch.y))
+
+
+def loss_weight(batch: GraphsTuple, loss: str) -> jax.Array:
+    """Number of valid loss terms in a batch — the weight that makes the
+    weighted cross-shard mean equal the union batch's mean loss/grad.
+    CE (integer labels) counts valid graphs; the float losses count finite
+    label entries (multi-task bce counts entries, matching masked_bce)."""
+    if loss == "ce" or batch.y is None:
+        return jnp.sum(batch.graph_mask).astype(jnp.float32)
+    return jnp.sum(jnp.isfinite(batch.y)
+                   & batch.graph_mask[:, None]).astype(jnp.float32)
+
+
+def weighted_mean(tree, w: jax.Array, axis_name: str):
+    """psum(w * x) / psum(w) over ``axis_name`` (0/0 guarded to 0)."""
+    denom = jnp.maximum(jax.lax.psum(w, axis_name), 1e-9)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.psum(w * x, axis_name) / denom, tree)
+
+
 def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                        weight_decay: float = 0.0, weight_decay2: float = 0.0,
-                       reg_p: int = 2, donate: bool = True):
+                       reg_p: int = 2, donate: bool = True,
+                       loss_name: str = "l1"):
     """Build a jitted DP train step: state replicated, batch sharded over dp.
 
-    Batch stats are cross-device averaged after the local update (running-stat
-    sync; normalization itself uses local-shard statistics — documented
-    divergence from single-device full-batch BN).
+    Returns (new_state, loss, outs) with outs carrying the per-device model
+    outputs stacked [dp, G, T].
+
+    Batch stats are cross-device averaged (valid-node-weighted) after the
+    local update; normalization itself uses local-shard statistics —
+    documented divergence from single-device full-batch BN.
     """
-    n_dp = mesh.shape["dp"]
 
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
         # batch arrives with leading device axis of size 1 inside shard_map
@@ -53,22 +97,40 @@ def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         loss_and_aux = make_loss_and_aux(
             model, loss_fn, weight_decay, weight_decay2, reg_p,
             state.batch_stats, batch, rng, lr)
-        (loss, (_, new_stats)), grads = jax.value_and_grad(
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, "dp")
-        loss = jax.lax.pmean(loss, "dp")
-        new_stats = jax.lax.pmean(new_stats, "dp")
+        w = loss_weight(batch, loss_name)
+        grads = weighted_mean(grads, w, "dp")
+        loss = weighted_mean(loss, w, "dp")
+        w_bn = jnp.sum(batch.node_mask).astype(jnp.float32)
+        new_stats = weighted_mean(new_stats, w_bn, "dp")
         new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
-        return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt_state, step=state.step + 1), loss
-
-    state_spec = P()  # replicated
-    batch_spec = P(("dp",))
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss, out[None]
 
     sharded_step = shard_map(
         device_step, mesh=mesh,
-        in_specs=(state_spec, batch_spec, P()),
-        out_specs=(state_spec, P()),
+        in_specs=(P(), P(("dp",)), P()),
+        out_specs=(P(), P(), P("dp")),
         check_vma=False)
 
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_eval_step(model, mesh: Mesh):
+    """Jitted DP eval: state replicated, device-stacked batch sharded over dp;
+    returns outs [dp, G, T].  Fully-masked dummy pad batches are filtered by
+    the caller via graph_mask (their outputs are ignored)."""
+
+    def device_step(state: TrainState, batch: GraphsTuple):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, training=False)
+        return out[None]
+
+    sharded = shard_map(device_step, mesh=mesh,
+                        in_specs=(P(), P(("dp",))), out_specs=P("dp"),
+                        check_vma=False)
+    return jax.jit(sharded)

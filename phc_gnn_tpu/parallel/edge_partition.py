@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from phc_gnn_tpu.graph.batch import GraphsTuple
+from phc_gnn_tpu.parallel.dp import loss_weight, weighted_mean
 from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
 
 __all__ = ["partition_edges", "make_ep_train_step", "edge_partition_specs",
@@ -37,10 +38,12 @@ def partition_edges(batch: GraphsTuple, num_shards: int) -> GraphsTuple:
     """Round the edge arrays up to a multiple of num_shards (padding edges
     attach to the last node with mask False).  Shard-ready: shard_map splits the
     leading edge axis evenly."""
-    # plan-layout fields are single-chip structures; strip them (the generic
-    # segment ops with collectives handle the sharded path)
+    # plan-layout / scan-plan fields are single-chip structures; strip them
+    # (the generic segment ops with collectives handle the sharded path)
     if batch.recv_local is not None:
         batch = batch.replace(recv_local=None, block_tile=None, block_first=None)
+    if batch.scan_flags is not None:
+        batch = batch.replace(scan_flags=None, scan_cont=None, last_edge=None)
     e = batch.num_edges
     target = ((e + num_shards - 1) // num_shards) * num_shards
     if target == e:
@@ -67,15 +70,18 @@ def edge_partition_specs(has_y: bool = True) -> GraphsTuple:
         y=P() if has_y else None)
 
 
-def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool):
+def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool,
+                    out_spec=P()):
     """shard_map a device step twice (labeled / unlabeled batch specs) and
-    dispatch on batch.y at trace time — shared by the ep and dp_ep steps."""
+    dispatch on batch.y at trace time — shared by the ep and dp_ep steps.
+    ``out_spec`` is the spec of the model-output slot (P() replicated for ep,
+    P('dp') stacked for dp_ep)."""
     step_y = shard_map(device_step, mesh=mesh,
                        in_specs=(P(), specs_fn(True), P()),
-                       out_specs=(P(), P()), check_vma=False)
+                       out_specs=(P(), P(), out_spec), check_vma=False)
     step_no_y = shard_map(device_step, mesh=mesh,
                           in_specs=(P(), specs_fn(False), P()),
-                          out_specs=(P(), P()), check_vma=False)
+                          out_specs=(P(), P(), out_spec), check_vma=False)
 
     def dispatch(state, batch, lr):
         step = step_y if batch.y is not None else step_no_y
@@ -96,7 +102,7 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         loss_and_aux = make_loss_and_aux(
             model, loss_fn, weight_decay, weight_decay2, reg_p,
             state.batch_stats, batch, rng, lr)
-        (loss, (_, new_stats)), grads = jax.value_and_grad(
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
         # This pmean is LOAD-BEARING, not defensive.  Under check_vma=False the
         # transpose of the forward psum (graph/segment.py collectives) is again
@@ -107,8 +113,9 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         # which also witnesses that raw per-shard grads DIFFER.
         grads = jax.lax.pmean(grads, "ep")
         new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
-        return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt_state, step=state.step + 1), loss
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss, out
 
     return _jit_y_dispatch(device_step, mesh, edge_partition_specs, donate)
 
@@ -125,13 +132,16 @@ def make_dp_ep_batch_specs(has_y: bool = True) -> GraphsTuple:
 
 def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                           weight_decay: float = 0.0, weight_decay2: float = 0.0,
-                          reg_p: int = 2, donate: bool = True):
+                          reg_p: int = 2, donate: bool = True,
+                          loss_name: str = "l1"):
     """Combined data + edge parallelism over a (dp, ep) mesh.
 
     The batch is device-stacked along a leading dp axis; within each dp shard
     the edge arrays are additionally sharded over ep.  The model must be built
-    with ``edge_axis='ep'``; gradients pmean over both axes (ep to reconstruct
-    the exact grad from S x partial shards, dp to average data shards).
+    with ``edge_axis='ep'``.  Gradients: pmean over ep reconstructs the exact
+    grad from S x partial shards (see make_ep_train_step), then a
+    load-weighted mean over dp (see parallel/dp.py) combines data shards
+    exactly — a fully-masked dummy pad batch contributes nothing.
     """
 
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
@@ -141,15 +151,18 @@ def make_dp_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         loss_and_aux = make_loss_and_aux(
             model, loss_fn, weight_decay, weight_decay2, reg_p,
             state.batch_stats, batch, rng, lr)
-        (loss, (_, new_stats)), grads = jax.value_and_grad(
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_and_aux, has_aux=True)(state.params)
-        # ep pmean reconstructs the exact grad from Sxpartial shards (see
-        # make_ep_train_step); dp pmean then averages across data shards
-        grads = jax.lax.pmean(jax.lax.pmean(grads, "ep"), "dp")
-        loss = jax.lax.pmean(loss, "dp")
-        new_stats = jax.lax.pmean(new_stats, "dp")
+        grads = jax.lax.pmean(grads, "ep")
+        w = loss_weight(batch, loss_name)
+        grads = weighted_mean(grads, w, "dp")
+        loss = weighted_mean(loss, w, "dp")
+        w_bn = jnp.sum(batch.node_mask).astype(jnp.float32)
+        new_stats = weighted_mean(new_stats, w_bn, "dp")
         new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
-        return state.replace(params=new_params, batch_stats=new_stats,
-                             opt_state=new_opt_state, step=state.step + 1), loss
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss, out[None]
 
-    return _jit_y_dispatch(device_step, mesh, make_dp_ep_batch_specs, donate)
+    return _jit_y_dispatch(device_step, mesh, make_dp_ep_batch_specs, donate,
+                           out_spec=P("dp"))

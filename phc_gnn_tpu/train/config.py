@@ -81,7 +81,11 @@ class ExperimentConfig:
     activation: str = "relu"
 
     # parallelism / dispatch
-    num_devices: int = 1           # data-parallel shards
+    dp: int = 1                    # data-parallel mesh axis (devices)
+    ep: int = 1                    # edge-partition mesh axis (devices)
+    agg_kernel: str = "auto"       # segment aggregation kernel: auto (stream
+                                   # on TPU, xla elsewhere) | stream | xla
+    num_devices: int = 1           # deprecated alias; use dp
     scan_chunk: int = 0            # >0: scan this many same-shape train steps
                                    # inside one jit call (kills dispatch overhead)
     prefetch_depth: int = 2        # background-prefetched batches (0 = off)

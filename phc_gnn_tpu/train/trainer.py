@@ -132,19 +132,102 @@ class Trainer:
         self.evaluator = get_evaluator(cfg.metric)
         self.loss_fn = build_loss(cfg)
         self.tx = make_optimizer(cfg.lr, cfg.grad_clipping)
-        self.train_step = make_train_step(
-            model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
-            cfg.regularization)
+        self.dp = int(getattr(cfg, "dp", 1) or 1)
+        self.ep = int(getattr(cfg, "ep", 1) or 1)
+        self.mesh = None
+        self.dp_eval_step = None
         self.scan_steps = None
         self.scan_eval = None
-        if getattr(cfg, "scan_chunk", 0):
-            from phc_gnn_tpu.train.state import (make_scan_eval_steps,
-                                                 make_scan_train_steps)
-            self.scan_steps = make_scan_train_steps(
-                model, self.tx, self.loss_fn, cfg.weightdecay,
-                cfg.weightdecay2, cfg.regularization)
-            self.scan_eval = make_scan_eval_steps(model)
+        if self.dp > 1 or self.ep > 1:
+            # multi-chip path: (dp, ep) mesh; the train step is a shard_map'd
+            # collective step, eval/init use the axis-free model (params trees
+            # are identical; only the step wiring differs)
+            from phc_gnn_tpu.parallel import (
+                make_dp_ep_train_step,
+                make_dp_eval_step,
+                make_dp_train_step,
+                make_ep_train_step,
+                make_mesh,
+            )
+            self.mesh = make_mesh(dp=self.dp, ep=self.ep)
+            ep_model = model.clone(edge_axis="ep") if self.ep > 1 else model
+            kw = dict(weight_decay=cfg.weightdecay,
+                      weight_decay2=cfg.weightdecay2,
+                      reg_p=cfg.regularization)
+            if self.dp > 1 and self.ep > 1:
+                self.train_step = make_dp_ep_train_step(
+                    ep_model, self.tx, self.loss_fn, self.mesh,
+                    loss_name=cfg.loss, **kw)
+            elif self.dp > 1:
+                self.train_step = make_dp_train_step(
+                    model, self.tx, self.loss_fn, self.mesh,
+                    loss_name=cfg.loss, **kw)
+            else:
+                self.train_step = make_ep_train_step(
+                    ep_model, self.tx, self.loss_fn, self.mesh, **kw)
+            if self.dp > 1:
+                self.dp_eval_step = make_dp_eval_step(model, self.mesh)
+            if getattr(cfg, "scan_chunk", 0):
+                log.info("scan_chunk disabled under dp/ep parallelism")
+        else:
+            self.train_step = make_train_step(
+                model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
+                cfg.regularization)
+            if getattr(cfg, "scan_chunk", 0):
+                from phc_gnn_tpu.train.state import (make_scan_eval_steps,
+                                                     make_scan_train_steps)
+                self.scan_steps = make_scan_train_steps(
+                    model, self.tx, self.loss_fn, cfg.weightdecay,
+                    cfg.weightdecay2, cfg.regularization)
+                self.scan_eval = make_scan_eval_steps(model)
         self.eval_step = make_eval_step(model)
+
+    # -- parallel helpers ---------------------------------------------------
+    def _place(self, tree):
+        """Replicate a state pytree onto the mesh (no-op single-device).
+        Needed after create_train_state and checkpoint restore, whose arrays
+        are committed to device 0 and would conflict with the mesh."""
+        if self.mesh is None:
+            return tree
+        from phc_gnn_tpu.parallel.mesh import replicated
+        return jax.device_put(tree, replicated(self.mesh))
+
+    def _dp_groups(self, batches: Iterable[GraphsTuple]):
+        """Group consecutive batches into device-groups of dp; the last
+        partial group is padded with fully-masked dummy batches (zero loss
+        weight — exact, no data dropped).  Yields (real_batches, group)."""
+        from phc_gnn_tpu.parallel import make_dummy_batch
+        group: List[GraphsTuple] = []
+        for batch in batches:
+            if group and jax.tree_util.tree_structure(batch) != \
+                    jax.tree_util.tree_structure(group[0]):
+                raise ValueError("dp grouping needs uniform batch structure; "
+                                 "use a single bucket shape (sub_buckets=1)")
+            group.append(batch)
+            if len(group) == self.dp:
+                yield group, group
+                group = []
+        if group:
+            full = group + [make_dummy_batch(group[0])] * (self.dp - len(group))
+            yield group, full
+
+    def _parallel_train_epoch(self, state: TrainState, batches_iter,
+                              lr_dev, consume):
+        from phc_gnn_tpu.parallel import partition_edges, stack_batches
+        if self.dp > 1:
+            for real, group in self._dp_groups(batches_iter):
+                if self.ep > 1:
+                    group = [partition_edges(b, self.ep) for b in group]
+                stacked = stack_batches(group)
+                state, loss, outs = self.train_step(state, stacked, lr_dev)
+                for i, b in enumerate(real):
+                    consume(b, loss, outs[i])
+        else:  # ep only: one full batch, edges sharded
+            for batch in batches_iter:
+                pb = partition_edges(batch, self.ep)
+                state, loss, out = self.train_step(state, pb, lr_dev)
+                consume(batch, loss, out)
+        return state
 
     # -- evaluation ---------------------------------------------------------
     def evaluate(self, state: TrainState, batches: Iterable[GraphsTuple]):
@@ -163,7 +246,16 @@ class Trainer:
             y_pred.append(out)
             masks.append(batch.graph_mask)
 
-        if self.scan_eval is not None:
+        if self.dp_eval_step is not None:
+            # DP eval: device-groups sharded over dp; dummy pad batches'
+            # outputs are dropped (only real sub-batches are consumed, and
+            # their graph_mask filters padding graphs as usual)
+            from phc_gnn_tpu.parallel import stack_batches
+            for real, group in self._dp_groups(batches):
+                outs = self.dp_eval_step(state, stack_batches(group))
+                for i, b in enumerate(real):
+                    consume(b, outs[i])
+        elif self.scan_eval is not None:
             for chunk in iter_scan_chunks(batches, self.cfg.scan_chunk):
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *chunk)
@@ -188,7 +280,7 @@ class Trainer:
         seed = cfg.seed + run_idx - 1
         rng = jax.random.key(seed)
         sample = next(iter(self.train_batches(seed)))
-        state = create_train_state(self.model, self.tx, sample, rng)
+        state = self._place(create_train_state(self.model, self.tx, sample, rng))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         log.info("run %d: %d params, seed %d", run_idx, n_params, seed)
 
@@ -204,7 +296,7 @@ class Trainer:
         if resume and ckpt.latest_step() is not None:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-            state = ckpt.restore(abstract)
+            state = self._place(ckpt.restore(abstract))
             start_epoch = int(ckpt.latest_step())
             if os.path.exists(sched_path):
                 # exact resume: scheduler lr/best/patience + best-val metric
@@ -223,8 +315,9 @@ class Trainer:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), slim)
             restored = ckpt.restore_best(abstract)
-            best_state = state.replace(params=restored["params"],
-                                       batch_stats=restored["batch_stats"])
+            best_state = self._place(state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"]))
             if not np.isfinite(best_val):
                 # pre-scheduler-state checkpoint: recover the best metric so
                 # the first resumed epoch cannot overwrite a better export
@@ -267,7 +360,10 @@ class Trainer:
                 from phc_gnn_tpu.data.prefetch import prefetch
                 batches_iter = prefetch(batches_iter, depth=depth)
 
-            if self.scan_steps is not None:
+            if self.mesh is not None:
+                state = self._parallel_train_epoch(state, batches_iter,
+                                                   lr_dev, consume)
+            elif self.scan_steps is not None:
                 # group same-shape batches into chunks, one jit call per chunk
                 for chunk in iter_scan_chunks(batches_iter,
                                               self.cfg.scan_chunk):

@@ -72,39 +72,43 @@ print(f"softmax grad rel-err {gerr:.2e}  dbeta {float(gb):.5f} vs "
 assert gerr < 5e-3  # f32 exp/ordering noise on tiny-magnitude grads
 
 # ---- slope-method timing: k inner iterations inside one jit
-def timed(fn, *args, iters=(20, 220)):
-    # slope method: iteration counts must be large enough that the k1-k0 time
-    # difference dwarfs the tunnel's ms-scale dispatch jitter (with (4, 20)
-    # the slopes came out negative)
+def timed(fn, iters=(20, 220)):
+    # slope method with a loop-carried data dependency: fn(eps) must USE the
+    # carry (we feed msgs + eps*carry), otherwise XLA hoists the loop-invariant
+    # op out of fori_loop and the measured time is independent of k.
+    # Iteration counts large enough that the k1-k0 difference dwarfs the
+    # tunnel's ms-scale dispatch jitter.
     import functools
     @functools.partial(jax.jit, static_argnums=0)
-    def run(k, *a):
-        def body(i, acc):
-            return acc + fn(*a)[0, 0]
+    def run(k):
+        def body(i, carry):
+            out = fn(carry * 1e-30)
+            return out[0, 0]
         return jax.lax.fori_loop(0, k, body, 0.0)
     out = []
     for k in iters:
-        run(k, *args).block_until_ready()  # compile
+        run(k).block_until_ready()  # compile
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            run(k, *args).block_until_ready()
+            run(k).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         out.append(best)
     k0, k1 = iters
     return (out[1] - out[0]) / (k1 - k0)
 
 
-t_xla_sum = timed(lambda: segment_sum(msgs_j, recv_j, N, mask_j))
-t_str_sum = timed(lambda: segment_sum_streamed(
-    msgs_j, recv_j, flags_j, cont_j, last_j, N, edge_mask=mask_j,
+t_xla_sum = timed(lambda eps: segment_sum(msgs_j + eps, recv_j, N, mask_j))
+t_str_sum = timed(lambda eps: segment_sum_streamed(
+    msgs_j + eps, recv_j, flags_j, cont_j, last_j, N, edge_mask=mask_j,
     block_edges=BLOCK))
 print(f"segment_sum: xla {t_xla_sum*1e3:.3f} ms  streamed {t_str_sum*1e3:.3f} "
       f"ms  speedup {t_xla_sum/t_str_sum:.2f}x", flush=True)
 
-t_xla_sm = timed(lambda: softmax_aggregate(msgs_j, recv_j, N, beta, mask_j))
-t_str_sm = timed(lambda: softmax_aggregate_streamed(
-    msgs_j, recv_j, flags_j, cont_j, last_j, N, beta, edge_mask=mask_j,
+t_xla_sm = timed(lambda eps: softmax_aggregate(msgs_j + eps, recv_j, N, beta,
+                                               mask_j))
+t_str_sm = timed(lambda eps: softmax_aggregate_streamed(
+    msgs_j + eps, recv_j, flags_j, cont_j, last_j, N, beta, edge_mask=mask_j,
     block_edges=BLOCK))
 print(f"softmax:     xla {t_xla_sm*1e3:.3f} ms  streamed {t_str_sm*1e3:.3f} "
       f"ms  speedup {t_xla_sm/t_str_sm:.2f}x", flush=True)

@@ -47,7 +47,7 @@ def test_dp_train_step_runs_and_matches_counts():
     tx = make_optimizer(1e-3, grad_clip=1.0)
     state = create_train_state(model, tx, batches[0], jax.random.key(0))
     step = make_dp_train_step(model, tx, loss_fn, mesh, donate=False)
-    new_state, loss = step(state, sharded, jnp.float32(1e-3))
+    new_state, loss, _ = step(state, sharded, jnp.float32(1e-3))
     assert np.isfinite(float(loss))
     assert int(new_state.step) == 1
     # params updated
@@ -77,7 +77,7 @@ def test_ep_matches_single_device():
     model_ep = PHCGNN(phm_dim=4, norm_mp=None, norm_dn=None, edge_axis="ep",
                       **MODEL_KW)
     step_ep = make_ep_train_step(model_ep, tx, loss_fn, mesh, donate=False)
-    new_ep, loss_ep = step_ep(state, batch, jnp.float32(1e-3))
+    new_ep, loss_ep, _ = step_ep(state, batch, jnp.float32(1e-3))
 
     np.testing.assert_allclose(float(loss_1), float(loss_ep), rtol=1e-5)
     a = jax.tree_util.tree_leaves(new_1.params)
@@ -184,7 +184,7 @@ def test_dp_identical_batches_match_single_device():
     sharded = shard_batch(stacked, mesh)
     step_dp = make_dp_train_step(model, tx, loss_fn, mesh, donate=False)
     # dropout rng differs per dp shard; disable stochastic paths via model cfg
-    s4, l4 = step_dp(state, sharded, jnp.float32(1e-3))
+    s4, l4, _ = step_dp(state, sharded, jnp.float32(1e-3))
 
     np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
@@ -217,7 +217,7 @@ def test_dp_ep_combined_step():
     specs = make_dp_ep_batch_specs()
     sharded = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), stacked, specs)
-    s2, l2 = step(state, sharded, jnp.float32(1e-3))
+    s2, l2, _ = step(state, sharded, jnp.float32(1e-3))
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):

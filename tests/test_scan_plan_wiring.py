@@ -1,0 +1,103 @@
+"""End-to-end wiring of the streaming-scan aggregation plan (VERDICT r1 #2).
+
+The kernel itself is covered by tests/test_stream_scan.py; these tests pin the
+plumbing: loader attachment, model dispatch equivalence (a batch carrying a
+scan plan must produce the SAME forward/gradients as the XLA composite path),
+and the strip rule under edge partitioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS, synthetic_batch
+from phc_gnn_tpu.models import PHCGNN
+from phc_gnn_tpu.ops.stream_scan import attach_scan_plan, build_scan_plan
+
+MODEL_KW = dict(
+    atom_input_dims=ZINC_ATOM_DIMS,
+    bond_input_dims=ZINC_BOND_DIMS,
+    atom_encoded_dim=32,
+    mp_layers=(32, 32),
+    dropout_mpnn=(0.0, 0.0),
+    downstream_layers=(16, 8),
+    target_dim=1,
+    dropout_dn=(0.0, 0.0),
+)
+
+
+def _batch(scan=False):
+    b = synthetic_batch(batch_size=8, num_nodes=256, num_edges=512, seed=0)
+    return attach_scan_plan(b, block_edges=128) if scan else b
+
+
+def test_attach_scan_plan_matches_builder():
+    b = _batch(scan=True)
+    flags, cont, last = build_scan_plan(np.asarray(b.receivers), b.num_nodes,
+                                        128)
+    np.testing.assert_array_equal(np.asarray(b.scan_flags), flags)
+    np.testing.assert_array_equal(np.asarray(b.scan_cont), cont)
+    np.testing.assert_array_equal(np.asarray(b.last_edge), last)
+
+
+@pytest.mark.parametrize("aggr,mlp", [("softmax", True), ("sum", False),
+                                      ("softmax", False), ("sum", True)])
+def test_model_forward_matches_xla_path(aggr, mlp):
+    """Same params, same batch: scan-plan dispatch == XLA composite path."""
+    model = PHCGNN(phm_dim=4, msg_aggr=aggr, mlp_mp=mlp, **MODEL_KW)
+    plain, planned = _batch(), _batch(scan=True)
+    variables = model.init(jax.random.key(0), plain, training=False)
+    out_plain = model.apply(variables, plain, training=False)
+    out_plan = model.apply(variables, planned, training=False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_plan),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla_path():
+    """Full-model loss gradients agree between the two dispatches — the custom
+    VJPs are exercised through the real model.  (Post-Adam params are NOT
+    compared: Adam normalizes near-zero bias grads to ±lr, amplifying 1e-7
+    float noise into divergent updates.)"""
+    from phc_gnn_tpu.train import create_train_state, make_optimizer
+    from phc_gnn_tpu.train.loss import masked_l1
+    from phc_gnn_tpu.train.state import make_loss_and_aux
+
+    model = PHCGNN(phm_dim=4, msg_aggr="softmax", mlp_mp=True, **MODEL_KW)
+    plain, planned = _batch(), _batch(scan=True)
+    tx = make_optimizer(1e-3, grad_clip=2.0)
+    state = create_train_state(model, tx, plain, jax.random.key(0))
+
+    @jax.jit
+    def loss_and_grads(batch):
+        laa = make_loss_and_aux(
+            model, lambda out, b: masked_l1(out, b.y), 0.0, 0.0, 2,
+            state.batch_stats, batch, jax.random.key(3), jnp.float32(1e-3))
+        (loss, _), grads = jax.value_and_grad(laa, has_aux=True)(state.params)
+        return loss, grads
+
+    l1, g1 = loss_and_grads(plain)
+    l2, g2 = loss_and_grads(planned)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_loader_attaches_and_partition_strips():
+    from phc_gnn_tpu.data import PaddedLoader, compute_bucket_spec
+    from phc_gnn_tpu.data.synthetic import random_graph
+    from phc_gnn_tpu.parallel import partition_edges
+
+    rng = np.random.default_rng(0)
+    graphs = [random_graph(rng) for _ in range(20)]
+    bucket = compute_bucket_spec(graphs, batch_size=8, target_dim=1)
+    loader = PaddedLoader(graphs, bucket, scan_plan=True, scan_block=128)
+    batches = list(loader)
+    assert batches
+    for b in batches:
+        assert b.scan_flags is not None and b.scan_flags.shape[0] % 128 == 0
+        assert b.scan_cont is not None and b.last_edge is not None
+        assert b.last_edge.shape[0] == b.num_nodes
+        stripped = partition_edges(b, 2)
+        assert stripped.scan_flags is None and stripped.last_edge is None
