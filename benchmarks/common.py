@@ -140,7 +140,11 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=cfg.dp,
                    help="data-parallel mesh axis (devices)")
     p.add_argument("--ep", type=int, default=cfg.ep,
-                   help="edge-partition mesh axis (devices)")
+                   help="graph-parallel mesh axis (devices)")
+    p.add_argument("--ep_scheme", type=str, default=cfg.ep_scheme,
+                   choices=["halo", "replicated"],
+                   help="graph-parallel design: node-sharded halo exchange "
+                        "(north star) or replicated-node edge partitioning")
     p.add_argument("--resume", action="store_true",
                    help="resume each run from its latest checkpoint")
     p.add_argument("--agg_kernel", type=str, default=cfg.agg_kernel,

@@ -58,6 +58,10 @@ class GraphsTuple:
     scan_flags: Optional[jax.Array] = None   # [EB, 1] f32 segment starts
     scan_cont: Optional[jax.Array] = None    # [NB] i32 block continuation bits
     last_edge: Optional[jax.Array] = None    # [N_pad] i32 last edge per node (-1 none)
+    # node-sharded halo plan (parallel/halo.py): per-shard send lists; when
+    # set, ``senders`` index the augmented [NS + S*H] local+halo feature array
+    # and ``receivers`` are shard-local
+    halo_send: Optional[jax.Array] = None    # [S, H] i32 local rows per peer
 
     @property
     def num_nodes(self) -> int:

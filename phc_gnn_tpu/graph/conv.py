@@ -46,10 +46,15 @@ __all__ = [
 ]
 
 
-def _messages(x, senders, edge_attr, msg_encoder: str):
+def _messages(x, senders, edge_attr, msg_encoder: str, x_remote=None):
     """Edge messages: msg_encoder(x[senders] + edge_attr)
-    (reference: messagepassing.py:72-74)."""
-    return get_activation(msg_encoder)(jnp.take(x, senders, axis=0) + edge_attr)
+    (reference: messagepassing.py:72-74).
+
+    ``x_remote`` [S*H, d] carries halo rows received from peer shards under
+    node partitioning (parallel/halo.py); ``senders`` then index the augmented
+    [NS + S*H] array."""
+    src = x if x_remote is None else jnp.concatenate([x, x_remote], axis=0)
+    return get_activation(msg_encoder)(jnp.take(src, senders, axis=0) + edge_attr)
 
 
 def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
@@ -112,9 +117,10 @@ class PHMConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, scan_plan=None):
+                 phm_rule=None, training: bool = False, scan_plan=None,
+                 x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
         aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
                            self.edge_axis, self.aggr, scan_plan)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
@@ -151,13 +157,14 @@ class PHMGINEConv(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
+    stat_axis: Optional[str] = None  # cross-shard BN stats (parallel/halo.py)
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, node_mask=None,
-                 scan_plan=None):
+                 scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
         aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
                            self.edge_axis, self.aggr, scan_plan)
         if self.add_self_loops:
@@ -166,6 +173,7 @@ class PHMGINEConv(nn.Module):
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
                       shared_rule=self.shared_rule, dtype=self.dtype,
+                      stat_axis=self.stat_axis,
                       name="transform")(aggr, phm_rule, training=training,
                                         mask=node_mask)
 
@@ -194,9 +202,9 @@ class PHMConvSoftmax(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, plan=None,
-                 scan_plan=None):
+                 scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
@@ -238,13 +246,14 @@ class PHMGINEConvSoftmax(nn.Module):
     edge_axis: Optional[str] = None
     dtype: Any = None
     tile_nodes: int = 128
+    stat_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, plan=None,
-                 node_mask=None, scan_plan=None):
+                 node_mask=None, scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
@@ -256,6 +265,7 @@ class PHMGINEConvSoftmax(nn.Module):
                       self.bias, self.learn_phm, self.activation, self.norm,
                       self.w_init, self.c_init, factor=1.0,
                       shared_rule=self.shared_rule, dtype=self.dtype,
+                      stat_axis=self.stat_axis,
                       name="transform")(aggr, phm_rule, training=training,
                                         mask=node_mask)
 
@@ -283,12 +293,14 @@ class PHMPNAConvSimple(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
+    stat_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, node_mask=None):
+                 phm_rule=None, training: bool = False, node_mask=None,
+                 x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
         outs = [AGGREGATORS[a](msgs, receivers, num_nodes, edge_mask,
                                axis_name=self.edge_axis)
                 for a in self.aggregators]
@@ -309,6 +321,7 @@ class PHMPNAConvSimple(nn.Module):
                 # (messagepassing.py:391) — match it
                 out = PHMNorm(num_features=self.out_features, phm_dim=self.phm_dim,
                               norm_type="naive-batch-norm",
+                              stat_axis=self.stat_axis,
                               name=f"post_norm_{i}")(
                     out, training=training, mask=node_mask)
             out = get_activation(self.activation)(out)
@@ -342,6 +355,7 @@ class PHMMessagePassing(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
+    stat_axis: Optional[str] = None
     # pna extras
     avg_deg: Optional[Dict[str, float]] = None
     aggregators: Sequence[str] = ("mean", "min", "max", "std")
@@ -351,7 +365,7 @@ class PHMMessagePassing(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, plan=None,
-                 node_mask=None, scan_plan=None):
+                 node_mask=None, scan_plan=None, x_remote=None):
         aggr = "sum" if self.aggr == "add" else self.aggr
         common = dict(in_features=self.in_features, out_features=self.out_features,
                       phm_dim=self.phm_dim, learn_phm=self.learn_phm,
@@ -363,14 +377,14 @@ class PHMMessagePassing(nn.Module):
                 avg_deg=self.avg_deg, activation=self.activation, norm=self.norm,
                 aggregators=self.aggregators, scalers=self.scalers,
                 post_layers=self.post_layers, msg_encoder="relu",
-                name="conv", **common)
+                stat_axis=self.stat_axis, name="conv", **common)
         elif aggr == "softmax":
             if self.mlp:
                 conv = PHMGINEConvSoftmax(
                     add_self_loops=self.add_self_loops, norm=self.norm,
                     activation=self.activation, msg_encoder=self.msg_encoder,
                     initial_beta=self.initial_beta, learn_beta=self.learn_beta,
-                    name="conv", **common)
+                    stat_axis=self.stat_axis, name="conv", **common)
             else:
                 conv = PHMConvSoftmax(
                     add_self_loops=self.add_self_loops, same_dim=self.same_dim,
@@ -381,7 +395,8 @@ class PHMMessagePassing(nn.Module):
                 conv = PHMGINEConv(
                     add_self_loops=self.add_self_loops, norm=self.norm,
                     activation=self.activation, aggr=aggr,
-                    msg_encoder=self.msg_encoder, name="conv", **common)
+                    msg_encoder=self.msg_encoder, stat_axis=self.stat_axis,
+                    name="conv", **common)
             else:
                 conv = PHMConv(
                     add_self_loops=self.add_self_loops, aggr=aggr,
@@ -391,15 +406,18 @@ class PHMMessagePassing(nn.Module):
             if self.mlp:
                 return conv(x, senders, receivers, edge_attr, edge_mask,
                             phm_rule, training=training, plan=plan,
-                            node_mask=node_mask, scan_plan=scan_plan)
+                            node_mask=node_mask, scan_plan=scan_plan,
+                            x_remote=x_remote)
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                        training=training, plan=plan, scan_plan=scan_plan)
+                        training=training, plan=plan, scan_plan=scan_plan,
+                        x_remote=x_remote)
         if aggr == "pna":
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                        training=training, node_mask=node_mask)
+                        training=training, node_mask=node_mask,
+                        x_remote=x_remote)
         if self.mlp:
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                         training=training, node_mask=node_mask,
-                        scan_plan=scan_plan)
+                        scan_plan=scan_plan, x_remote=x_remote)
         return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                    training=training, scan_plan=scan_plan)
+                    training=training, scan_plan=scan_plan, x_remote=x_remote)

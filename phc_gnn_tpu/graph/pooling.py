@@ -23,8 +23,10 @@ class PHMGlobalSumPooling(nn.Module):
     phm_dim: int
 
     @nn.compact
-    def __call__(self, x, graph_ids, num_graphs: int, node_mask=None):
-        return seg.segment_sum(x, graph_ids, num_graphs, node_mask)
+    def __call__(self, x, graph_ids, num_graphs: int, node_mask=None,
+                 axis_name=None):
+        return seg.segment_sum(x, graph_ids, num_graphs, node_mask,
+                               axis_name=axis_name)
 
 
 class PHMSoftAttentionPooling(nn.Module):
@@ -43,14 +45,16 @@ class PHMSoftAttentionPooling(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph_ids, num_graphs: int, node_mask=None,
-                 phm_rule=None):
+                 phm_rule=None, axis_name=None):
         n = self.phm_dim
         gate = PHMLinear(self.embed_dim, self.embed_dim, n, self.bias,
                          self.w_init, self.c_init, self.learn_phm,
                          self.shared_rule, self.dtype, name="linear")(x, phm_rule)
         gate = RealTransformer(self.real_trafo, self.embed_dim, n, bias=True,
                                name="real_trafo")(gate)
-        gate = nn.sigmoid(gate)  # [N, d]
+        gate = nn.sigmoid(gate)  # [N, d] per-node gate, so sharding the node
+        # axis leaves it exact; only the final graph-sum needs the psum
         xs = x.reshape(x.shape[0], n, self.embed_dim // n)
         gated = (gate[:, None, :] * xs).reshape(x.shape[0], self.embed_dim)
-        return seg.segment_sum(gated, graph_ids, num_graphs, node_mask)
+        return seg.segment_sum(gated, graph_ids, num_graphs, node_mask,
+                               axis_name=axis_name)

@@ -75,6 +75,8 @@ class PHCGNN(nn.Module):
     initial_beta: float = 1.0
     learn_beta: bool = True
     edge_axis: Optional[str] = None  # mesh axis for edge partitioning
+    node_axis: Optional[str] = None  # mesh axis for node sharding with halo
+                                     # exchange (parallel/halo.py north star)
     compute_dtype: Optional[object] = None  # e.g. jnp.bfloat16 (params stay f32)
     remat: bool = False  # rematerialize each conv layer (memory <-> FLOPs)
     # pna extras
@@ -140,7 +142,8 @@ class PHCGNN(nn.Module):
                 same_dim=(self.skip_connect == "add"),
                 msg_encoder=self.msg_encoder, initial_beta=self.initial_beta,
                 learn_beta=self.learn_beta, shared_rule=shared,
-                edge_axis=self.edge_axis, dtype=self.compute_dtype,
+                edge_axis=self.edge_axis, stat_axis=self.node_axis,
+                dtype=self.compute_dtype,
                 avg_deg=self.avg_deg, aggregators=self.pna_aggregators,
                 scalers=self.pna_scalers, post_layers=self.pna_post_layers,
                 name=f"conv_{i}")
@@ -149,7 +152,8 @@ class PHCGNN(nn.Module):
         if self.norm_mp not in (None, "None"):
             self.norms = [
                 PHMNorm(num_features=self._out_dims[i], phm_dim=n,
-                        norm_type=self.norm_mp, name=f"norm_{i}")
+                        norm_type=self.norm_mp, stat_axis=self.node_axis,
+                        name=f"norm_{i}")
                 for i in range(len(self.mp_layers))
             ]
         else:
@@ -200,6 +204,16 @@ class PHCGNN(nn.Module):
                 if (training and dropout_rng is not None)
                 else [None] * (num_layers + 1))
 
+        halo = (graphs.halo_send is not None and self.node_axis is not None
+                and not self.is_initializing())
+        if halo and rngs[0] is not None:
+            # per-shard independent node dropout (each shard holds distinct
+            # rows); the downstream rng rngs[-1] stays shared — the pooled
+            # [G, d] activations are replicated and must stay replicated
+            shard = jax.lax.axis_index(self.node_axis)
+            rngs = [jax.random.fold_in(r, shard) for r in rngs[:-1]] + \
+                [rngs[-1]]
+
         x = atom
         for i in range(num_layers):
             skip = atom if (self.sc_type == "first" or i == 0) else x
@@ -209,20 +223,26 @@ class PHCGNN(nn.Module):
             edge_emb = edge_emb.reshape(edge_emb.shape[0], -1)
             if self.compute_dtype is not None:
                 edge_emb = edge_emb.astype(self.compute_dtype)
+            x_remote = None
+            if halo:
+                # boundary sender features from peer shards; XLA overlaps the
+                # all_to_all with the (independent) bond-encoder compute above
+                from phc_gnn_tpu.parallel.halo import halo_exchange
+                x_remote = halo_exchange(x, graphs.halo_send, self.node_axis)
             if self.remat:
                 h = nn.remat(
-                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_, sp_: m(
-                        x_, s_, r_, e_, em_, rule_, training=training,
-                        plan=plan_, node_mask=nm_, scan_plan=sp_))(
+                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_, sp_, xr_:
+                    m(x_, s_, r_, e_, em_, rule_, training=training,
+                      plan=plan_, node_mask=nm_, scan_plan=sp_, x_remote=xr_))(
                     self.convs[i], x, graphs.senders, graphs.receivers,
                     edge_emb, graphs.edge_mask, rule, plan, graphs.node_mask,
-                    scan_plan)
+                    scan_plan, x_remote)
             else:
                 h = self.convs[i](x, graphs.senders, graphs.receivers,
                                   edge_emb, graphs.edge_mask, rule,
                                   training=training, plan=plan,
                                   node_mask=graphs.node_mask,
-                                  scan_plan=scan_plan)
+                                  scan_plan=scan_plan, x_remote=x_remote)
             if self.norms[i] is not None:
                 h = self.norms[i](h, training=training, mask=graphs.node_mask)
             h = act(h)
@@ -234,11 +254,12 @@ class PHCGNN(nn.Module):
             else:
                 x = jnp.concatenate([h, skip], axis=-1)
 
+        pool_axis = self.node_axis if halo else None
         if self.pooling == "globalsum":
             pooled = self.pool(x, graphs.graph_ids, graphs.num_graphs,
-                               graphs.node_mask)
+                               graphs.node_mask, axis_name=pool_axis)
         else:
             pooled = self.pool(x, graphs.graph_ids, graphs.num_graphs,
-                               graphs.node_mask, rule)
+                               graphs.node_mask, rule, axis_name=pool_axis)
         return self.downstream(pooled, rule, training=training,
                                dropout_rng=rngs[-1], mask=graphs.graph_mask)

@@ -39,6 +39,8 @@ class _BatchNorm(nn.Module):
     momentum: float = 0.1  # torch-style: running += momentum * (batch - running)
     eps: float = 1e-5
     affine: bool = True
+    stat_axis: str | None = None  # mesh axis to psum batch stats over (the
+                                  # node-sharded path, parallel/halo.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True,
@@ -50,6 +52,12 @@ class _BatchNorm(nn.Module):
                                 lambda: jnp.zeros(feat_shape, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(feat_shape, jnp.float32))
+
+        def _psum(v):
+            if self.stat_axis is not None and not self.is_initializing():
+                return jax.lax.psum(v, self.stat_axis)
+            return v
+
         if training:
             # Two-pass batch statistics: mean first, then E[(x-mean)^2].
             # The one-pass shifted form E[(x-c)^2]-E[x-c]^2 catastrophically
@@ -60,14 +68,14 @@ class _BatchNorm(nn.Module):
             if mask is not None:
                 m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
                     jnp.float32)
-                cnt = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / cnt
+                cnt = jnp.maximum(_psum(jnp.sum(m)), 1.0)
+                mean = _psum(jnp.sum(x * m, axis=0)) / cnt
                 xc = (x - mean) * m
             else:
-                cnt = jnp.float32(x.shape[0])
-                mean = jnp.mean(x, axis=0)
+                cnt = _psum(jnp.float32(x.shape[0]))
+                mean = _psum(jnp.sum(x, axis=0)) / cnt
                 xc = x - mean
-            var = jnp.sum(xc * xc, axis=0) / cnt
+            var = _psum(jnp.sum(xc * xc, axis=0)) / cnt
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
@@ -91,6 +99,7 @@ class PHMNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     affine: bool = True
+    stat_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True,
@@ -105,6 +114,7 @@ class PHMNorm(nn.Module):
             xs = x.reshape(x.shape[0], n, d)
             y = QuaternionWhiteningNorm(num_features=d, momentum=self.momentum,
                                         eps=self.eps, affine=self.affine,
+                                        stat_axis=self.stat_axis,
                                         name="qbn")(xs, training=training,
                                                     mask=mask)
             return y.reshape(x.shape).astype(x.dtype)
@@ -113,10 +123,12 @@ class PHMNorm(nn.Module):
             # n independent per-component BatchNorm1d(d)
             d = self.num_features // n
             xs = x.reshape(x.shape[0], n, d)
-            y = _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
+            y = _BatchNorm(self.momentum, self.eps, self.affine,
+                           self.stat_axis, name="bn")(
                 xs, training=training, mask=mask)
             return y.reshape(x.shape).astype(x.dtype)
-        return _BatchNorm(self.momentum, self.eps, self.affine, name="bn")(
+        return _BatchNorm(self.momentum, self.eps, self.affine,
+                          self.stat_axis, name="bn")(
             x, training=training, mask=mask).astype(x.dtype)
 
 
@@ -166,6 +178,7 @@ class QuaternionWhiteningNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     affine: bool = True
+    stat_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = True,
@@ -179,18 +192,27 @@ class QuaternionWhiteningNorm(nn.Module):
         ra_cov = self.variable(
             "batch_stats", "cov",
             lambda: jnp.broadcast_to(jnp.eye(4)[..., None], (4, 4, d)).astype(jnp.float32))
+
+        def _psum(v):
+            if self.stat_axis is not None and not self.is_initializing():
+                return jax.lax.psum(v, self.stat_axis)
+            return v
+
         if training:
             if mask is not None:
                 m = mask.reshape(-1, 1, 1).astype(x.dtype)
-                cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
-                mean = jnp.sum(x * m, axis=0) / cnt  # [4, d]
+                cnt = jnp.maximum(_psum(jnp.sum(mask.astype(x.dtype))), 1.0)
+                mean = _psum(jnp.sum(x * m, axis=0)) / cnt  # [4, d]
                 centered = (x - mean[None]) * m
-                cov = jnp.einsum("ncd,nkd->dck", centered, centered) / cnt
+                cov = _psum(
+                    jnp.einsum("ncd,nkd->dck", centered, centered)) / cnt
             else:
-                mean = jnp.mean(x, axis=0)  # [4, d]
+                cnt = _psum(jnp.float32(x.shape[0]))
+                mean = _psum(jnp.sum(x, axis=0)) / cnt  # [4, d]
                 centered = x - mean[None]
                 # per-feature 4x4 covariance: [d, 4, 4]
-                cov = jnp.einsum("ncd,nkd->dck", centered, centered) / x.shape[0]
+                cov = _psum(
+                    jnp.einsum("ncd,nkd->dck", centered, centered)) / cnt
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_cov.value = ra_cov.value + self.momentum * (

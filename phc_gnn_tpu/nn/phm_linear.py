@@ -126,6 +126,7 @@ class PHMMLP(nn.Module):
     factor: float = 1.0
     shared_rule: bool = False
     dtype: Optional[jnp.dtype] = None
+    stat_axis: Optional[str] = None  # cross-shard BN stats (parallel/halo.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, phm_rule: Optional[jax.Array] = None,
@@ -138,8 +139,9 @@ class PHMMLP(nn.Module):
                       self.dtype, name="linear1")(x, phm_rule)
         if self.norm not in (None, "None"):
             x = PHMNorm(num_features=hidden, phm_dim=self.phm_dim,
-                        norm_type=self.norm, name="norm")(x, training=training,
-                                                          mask=mask)
+                        norm_type=self.norm, stat_axis=self.stat_axis,
+                        name="norm")(x, training=training,
+                                     mask=mask)
         x = get_activation(self.activation)(x)
         x = PHMLinear(hidden, self.out_features, self.phm_dim, self.bias,
                       self.w_init, self.c_init, self.learn_phm, self.shared_rule,

@@ -345,29 +345,23 @@ def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
 
     dm_e = wt_e * ( g_n + beta * ( m_e*g_n - s_n ) ),
     dbeta = sum_e wt_e * m_e * (m_e*g_n - s_n),  s_n = sum_j wt_j (m_j*g_n).
-    The inner segment reduction reuses the streaming scan.
+
+    Since g_n is constant within a segment, s_n = g_n * sum_j wt_j m_j
+    = g_n * out_n — the inner segment reduction collapses to an elementwise
+    product of residuals.  The whole backward is therefore two node->edge
+    gathers plus fused elementwise math: NO segment reduction, NO scatter.
     """
     (msgs, beta, seg_max, den_end, out, flags, cont, last_edge, receivers,
      edge_mask_f) = res
-    e = msgs.shape[0]
-    eb = flags.shape[0]
     w = jnp.exp(beta * msgs - jnp.take(seg_max, receivers, axis=0))
     w = w * edge_mask_f[:, None]
-    wt = w / jnp.take(den_end, jnp.clip(
-        _node_of_edge(last_edge, receivers), 0, num_nodes - 1), axis=0)
+    wt = w / jnp.take(den_end, receivers, axis=0)
     g_e = jnp.take(g, receivers, axis=0)
+    s_e = jnp.take(out * g, receivers, axis=0)
     mg = msgs * g_e
-    # s_n = segment_sum(wt * mg)
-    s = _seg_sum_streamed(num_nodes, block_edges, interpret,
-                          wt * mg, flags, cont, last_edge, receivers)
-    s_e = jnp.take(s, receivers, axis=0)
     dm = wt * (g_e + beta * (mg - s_e))
     dbeta = jnp.sum(wt * msgs * (mg - s_e))
     return (dm, dbeta, None, None, None, None, None)
-
-
-def _node_of_edge(last_edge, receivers):
-    return receivers
 
 
 _softmax_agg_streamed.defvjp(_softmax_agg_streamed_fwd,

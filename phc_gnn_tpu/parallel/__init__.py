@@ -17,6 +17,14 @@ from phc_gnn_tpu.parallel.edge_partition import (
     make_ep_train_step,
     partition_edges,
 )
+from phc_gnn_tpu.parallel.halo import (
+    halo_exchange,
+    make_dp_np_batch_specs,
+    make_dp_np_train_step,
+    make_np_train_step,
+    node_partition_specs,
+    partition_nodes,
+)
 from phc_gnn_tpu.parallel.multihost import (
     initialize,
     is_primary,

@@ -1,0 +1,311 @@
+"""Node-sharded graph parallelism with boundary (halo) exchange — the
+BASELINE.json north star (SURVEY.md sections 2.5, 5.7).
+
+The padded batch's NODES are partitioned into contiguous ranges across the
+``ep`` mesh axis (owner of global node g = ``g // NS``); every edge lives with
+the shard that owns its RECEIVER.  Consequences, by design:
+
+- Every segment reduction (sum/mean/min/max, PNA, and the two-pass softmax)
+  is purely LOCAL: a node's complete in-edge set sits on its owner.  No
+  full-node psum per conv — the replicated-EP scheme's O(N*d) all-reduce
+  (parallel/edge_partition.py) disappears.
+- Per-node compute — encoders, PHM transform GEMMs, BN, activations, dropout
+  — runs on [NS = N/S] rows per shard: 1/S of the FLOPs.
+- The only per-layer communication is the HALO: features of boundary *sender*
+  nodes referenced by another shard's edges.  The host partitioner emits, per
+  ordered shard pair (s, t), the list of s-owned rows t needs (padded to the
+  static width H = roundup(max cut)); the exchange is one tiled
+  ``lax.all_to_all`` of [S*H, d] — comm bytes proportional to the boundary
+  size, not to N.  XLA's latency-hiding scheduler overlaps it with the
+  bond-encoder compute of the same layer, which does not depend on node
+  features.
+
+Replaces the reference's single-GPU assumption (no counterpart); the graph
+analogue of sequence-parallel boundary exchange.  Cross-shard-exact BN uses
+the axis_name plumbing in nn/norm.py; graph pooling psums its [G, d] partial
+sums (G is small, so this collective is negligible).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from phc_gnn_tpu.graph.batch import GraphsTuple
+from phc_gnn_tpu.parallel.dp import loss_weight, weighted_mean
+from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
+
+__all__ = [
+    "partition_nodes",
+    "halo_exchange",
+    "node_partition_specs",
+    "make_np_train_step",
+    "make_dp_np_train_step",
+    "make_dp_np_batch_specs",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def partition_nodes(batch: GraphsTuple, num_shards: int,
+                    halo_align: int = 8, edge_align: int = 128,
+                    edge_slots: Optional[int] = None,
+                    halo_slots: Optional[int] = None) -> GraphsTuple:
+    """Host-side partitioner: stacked per-shard arrays with leading axis S.
+
+    Returns a GraphsTuple whose node/edge arrays carry a leading shard axis
+    (to be sharded over ``ep`` via shard_map) and whose ``senders`` index the
+    per-shard AUGMENTED feature array [NS + S*H]: rows < NS are local nodes,
+    row NS + t*H + i is the i-th halo row received from shard t (see
+    halo_exchange).  ``receivers`` are shard-local.  y/graph_mask stay global
+    (replicated).  Requires receiver-sorted edges (batch_graphs guarantees)."""
+    S = num_shards
+    N = batch.num_nodes
+    NS = _round_up((N + S - 1) // S, 8)
+    nodes = np.asarray(batch.nodes)
+    recv = np.asarray(batch.receivers).astype(np.int64)
+    send = np.asarray(batch.senders).astype(np.int64)
+    edges = np.asarray(batch.edges)
+    edge_mask = np.asarray(batch.edge_mask)
+    node_mask = np.asarray(batch.node_mask)
+    graph_ids = np.asarray(batch.graph_ids)
+    G = batch.num_graphs
+
+    assert np.all(recv[1:] >= recv[:-1]), "partition_nodes needs sorted edges"
+    owner_e = np.minimum(recv // NS, S - 1)
+
+    # per-shard edge slices (contiguous because edges are receiver-sorted)
+    counts = np.bincount(owner_e, minlength=S)
+    ES = _round_up(max(int(counts.max()), 1), edge_align)
+    if edge_slots is not None:
+        assert ES <= edge_slots, (
+            f"edge shard needs {ES} slots > fixed edge_slots={edge_slots}")
+        ES = edge_slots
+    e_starts = np.concatenate([[0], np.cumsum(counts)])
+
+    # halo send lists: for each (src_owner t, edge_owner s) pair the unique
+    # t-owned sender nodes referenced by s's edges
+    owner_s = np.minimum(send // NS, S - 1)
+    send_lists = [[None] * S for _ in range(S)]
+    max_cut = 0
+    for s in range(S):
+        lo, hi = e_starts[s], e_starts[s + 1]
+        es_send = send[lo:hi][edge_mask[lo:hi]]
+        es_owner = np.minimum(es_send // NS, S - 1)
+        for t in range(S):
+            if t == s:
+                continue
+            uniq = np.unique(es_send[es_owner == t])
+            send_lists[t][s] = uniq
+            max_cut = max(max_cut, len(uniq))
+    H = _round_up(max(max_cut, 1), halo_align)
+    if halo_slots is not None:
+        assert H <= halo_slots, (
+            f"halo needs {H} slots > fixed halo_slots={halo_slots}")
+        H = halo_slots
+
+    F_node = nodes.shape[1:]
+    F_edge = edges.shape[1:]
+    out_nodes = np.zeros((S, NS) + F_node, nodes.dtype)
+    out_nmask = np.zeros((S, NS), bool)
+    out_gids = np.full((S, NS), G - 1, np.int32)
+    out_edges = np.zeros((S, ES) + F_edge, edges.dtype)
+    out_emask = np.zeros((S, ES), bool)
+    out_send = np.zeros((S, ES), np.int32)
+    out_recv = np.full((S, ES), NS - 1, np.int32)
+    halo_send = np.zeros((S, S, H), np.int32)
+
+    # position maps for aug indexing: pos[(t, s)][global node] -> slot
+    pos_maps = {}
+    for t in range(S):
+        for s in range(S):
+            if t == s or send_lists[t][s] is None or len(send_lists[t][s]) == 0:
+                continue
+            uniq = send_lists[t][s]
+            halo_send[t, s, :len(uniq)] = uniq - t * NS
+            pos_maps[(t, s)] = {int(g): i for i, g in enumerate(uniq)}
+
+    for s in range(S):
+        lo_n = s * NS
+        n_here = max(0, min(N - lo_n, NS))
+        if n_here > 0:
+            out_nodes[s, :n_here] = nodes[lo_n:lo_n + n_here]
+            out_nmask[s, :n_here] = node_mask[lo_n:lo_n + n_here]
+            out_gids[s, :n_here] = graph_ids[lo_n:lo_n + n_here]
+        lo, hi = e_starts[s], e_starts[s + 1]
+        ne = hi - lo
+        if ne == 0:
+            continue
+        out_edges[s, :ne] = edges[lo:hi]
+        out_emask[s, :ne] = edge_mask[lo:hi]
+        out_recv[s, :ne] = (recv[lo:hi] - lo_n).astype(np.int32)
+        # senders -> augmented index space
+        es_send = send[lo:hi]
+        es_owner = np.minimum(es_send // NS, S - 1)
+        aug = np.zeros(ne, np.int32)
+        local = es_owner == s
+        aug[local] = (es_send[local] - lo_n).astype(np.int32)
+        for t in range(S):
+            if t == s:
+                continue
+            sel = (es_owner == t) & edge_mask[lo:hi]
+            if not sel.any():
+                continue
+            pm = pos_maps[(t, s)]
+            aug[sel] = np.asarray(
+                [NS + t * H + pm[int(g)] for g in es_send[sel]], np.int32)
+        # masked edges keep sender 0 (never read through the mask)
+        aug[~edge_mask[lo:hi]] = 0
+        out_send[s, :ne] = aug
+        # padding receiver rows already NS-1 via init
+
+    return GraphsTuple(
+        nodes=jnp.asarray(out_nodes), edges=jnp.asarray(out_edges),
+        senders=jnp.asarray(out_send), receivers=jnp.asarray(out_recv),
+        graph_ids=jnp.asarray(out_gids),
+        node_mask=jnp.asarray(out_nmask), edge_mask=jnp.asarray(out_emask),
+        graph_mask=batch.graph_mask, y=batch.y,
+        halo_send=jnp.asarray(halo_send))
+
+
+def halo_exchange(x: jax.Array, halo_send: jax.Array, axis_name: str):
+    """Inside shard_map: ship this shard's boundary rows to every peer and
+    receive theirs.  ``halo_send`` [S, H] lists local rows to send to each
+    shard; returns [S*H, d] where rows [t*H:(t+1)*H] are shard t's block for
+    us — matching the aug index NS + t*H + i used by partition_nodes."""
+    s, h = halo_send.shape
+    buf = jnp.take(x, halo_send.reshape(s * h), axis=0)  # [S*H, d]
+    return jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+
+def node_partition_specs(has_y: bool = True) -> GraphsTuple:
+    """PartitionSpecs: per-shard stacks over ep, labels/graph masks replicated."""
+    return GraphsTuple(
+        nodes=P("ep"), edges=P("ep"), senders=P("ep"), receivers=P("ep"),
+        graph_ids=P("ep"), node_mask=P("ep"), edge_mask=P("ep"),
+        graph_mask=P(), y=P() if has_y else None, halo_send=P("ep"))
+
+
+def _strip_shard_axis(batch: GraphsTuple) -> GraphsTuple:
+    """Drop the leading per-device axis of the stacked shard arrays (inside
+    shard_map each device holds [1, ...]); replicated fields pass through."""
+    stacked = {"nodes", "edges", "senders", "receivers", "graph_ids",
+               "node_mask", "edge_mask", "halo_send"}
+    updates = {f: getattr(batch, f)[0] for f in stacked
+               if getattr(batch, f) is not None}
+    return batch.replace(**updates)
+
+
+def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool, out_spec=P()):
+    step_y = shard_map(device_step, mesh=mesh,
+                       in_specs=(P(), specs_fn(True), P()),
+                       out_specs=(P(), P(), out_spec), check_vma=False)
+    step_no_y = shard_map(device_step, mesh=mesh,
+                          in_specs=(P(), specs_fn(False), P()),
+                          out_specs=(P(), P(), out_spec), check_vma=False)
+
+    def dispatch(state, batch, lr):
+        step = step_y if batch.y is not None else step_no_y
+        return step(state, batch, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+
+
+def make_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                       weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                       reg_p: int = 2, donate: bool = True):
+    """Node-parallel train step over the ``ep`` axis: params replicated, nodes
+    and edges sharded (see partition_nodes), halo exchanged per layer.
+
+    The model must be built with ``node_axis='ep'``.  The loss is identical on
+    every shard (pooling psums the graph sums), so each shard's raw grad is
+    S x (its own nodes' contribution) — the forward psum transposes to a psum
+    under check_vma=False — and the pmean recovers the exact total gradient,
+    mirroring make_ep_train_step.  BN batch stats are already cross-shard
+    exact (axis_name inside the norm), so new_stats are replicated as-is.
+    """
+
+    def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
+        batch = _strip_shard_axis(batch)
+        # identical rng across ep shards: the model folds the shard index into
+        # its per-layer node-dropout rngs itself and keeps the downstream rng
+        # shared (replicated [G] compute must agree across shards)
+        rng = jax.random.fold_in(state.rng, state.step)
+        loss_and_aux = make_loss_and_aux(
+            model, loss_fn, weight_decay, weight_decay2, reg_p,
+            state.batch_stats, batch, rng, lr)
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, "ep")
+        new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss, out
+
+    return _jit_y_dispatch(device_step, mesh, node_partition_specs, donate)
+
+
+def make_dp_np_batch_specs(has_y: bool = True) -> GraphsTuple:
+    """dp x np: leading device-stack axis over dp, shard stack over ep."""
+    return GraphsTuple(
+        nodes=P("dp", "ep"), edges=P("dp", "ep"), senders=P("dp", "ep"),
+        receivers=P("dp", "ep"), graph_ids=P("dp", "ep"),
+        node_mask=P("dp", "ep"), edge_mask=P("dp", "ep"),
+        graph_mask=P("dp"), y=P("dp") if has_y else None,
+        halo_send=P("dp", "ep"))
+
+
+def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                          reg_p: int = 2, donate: bool = True,
+                          loss_name: str = "l1"):
+    """Combined data + node parallelism over a (dp, ep) mesh: batches stacked
+    over dp, each batch node-sharded over ep with halo exchange.  Grads: pmean
+    over ep reconstructs each batch's exact grad (see make_np_train_step),
+    then a load-weighted mean over dp combines data shards exactly."""
+
+    def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # strip dp
+        batch = _strip_shard_axis(batch)
+        # distinct rng per dp shard (independent batches), shared across ep
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        loss_and_aux = make_loss_and_aux(
+            model, loss_fn, weight_decay, weight_decay2, reg_p,
+            state.batch_stats, batch, rng, lr)
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_and_aux, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, "ep")
+        w = loss_weight(batch, loss_name)
+        grads = weighted_mean(grads, w, "dp")
+        loss = weighted_mean(loss, w, "dp")
+        w_bn = jnp.sum(batch.node_mask).astype(jnp.float32)
+        new_stats = weighted_mean(new_stats, w_bn, "dp")
+        new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, step=state.step + 1)
+        return new_state, loss, out[None]
+
+    def specs_fn(has_y):
+        return make_dp_np_batch_specs(has_y)
+
+    step_y = shard_map(device_step, mesh=mesh,
+                      in_specs=(P(), specs_fn(True), P()),
+                      out_specs=(P(), P(), P("dp")), check_vma=False)
+    step_no_y = shard_map(device_step, mesh=mesh,
+                          in_specs=(P(), specs_fn(False), P()),
+                          out_specs=(P(), P(), P("dp")), check_vma=False)
+
+    def dispatch(state, batch, lr):
+        step = step_y if batch.y is not None else step_no_y
+        return step(state, batch, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())

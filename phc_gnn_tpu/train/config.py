@@ -82,7 +82,9 @@ class ExperimentConfig:
 
     # parallelism / dispatch
     dp: int = 1                    # data-parallel mesh axis (devices)
-    ep: int = 1                    # edge-partition mesh axis (devices)
+    ep: int = 1                    # graph-parallel mesh axis (devices)
+    ep_scheme: str = "halo"        # graph-parallel design: halo (node-sharded
+                                   # + boundary exchange) | replicated
     agg_kernel: str = "auto"       # segment aggregation kernel: auto (stream
                                    # on TPU, xla elsewhere) | stream | xla
     num_devices: int = 1           # deprecated alias; use dp

@@ -136,26 +136,41 @@ class Trainer:
         self.ep = int(getattr(cfg, "ep", 1) or 1)
         self.mesh = None
         self.dp_eval_step = None
+        self._np_slots = (None, None)  # halo partition rungs (edge, halo)
         self.scan_steps = None
         self.scan_eval = None
+        self.ep_scheme = str(getattr(cfg, "ep_scheme", "halo") or "halo")
         if self.dp > 1 or self.ep > 1:
             # multi-chip path: (dp, ep) mesh; the train step is a shard_map'd
             # collective step, eval/init use the axis-free model (params trees
-            # are identical; only the step wiring differs)
+            # are identical; only the step wiring differs).  ep_scheme picks
+            # the graph-parallel design: 'halo' = node-sharded with boundary
+            # exchange (parallel/halo.py, the north star — 1/S node compute,
+            # comm proportional to the cut); 'replicated' = replicated-node
+            # edge partitioning (parallel/edge_partition.py, exact fallback).
             from phc_gnn_tpu.parallel import (
                 make_dp_ep_train_step,
                 make_dp_eval_step,
+                make_dp_np_train_step,
                 make_dp_train_step,
                 make_ep_train_step,
                 make_mesh,
+                make_np_train_step,
             )
+            assert self.ep_scheme in ("halo", "replicated"), self.ep_scheme
             self.mesh = make_mesh(dp=self.dp, ep=self.ep)
-            ep_model = model.clone(edge_axis="ep") if self.ep > 1 else model
+            halo = self.ep_scheme == "halo"
+            if self.ep > 1:
+                ep_model = (model.clone(node_axis="ep") if halo
+                            else model.clone(edge_axis="ep"))
+            else:
+                ep_model = model
             kw = dict(weight_decay=cfg.weightdecay,
                       weight_decay2=cfg.weightdecay2,
                       reg_p=cfg.regularization)
             if self.dp > 1 and self.ep > 1:
-                self.train_step = make_dp_ep_train_step(
+                mk = make_dp_np_train_step if halo else make_dp_ep_train_step
+                self.train_step = mk(
                     ep_model, self.tx, self.loss_fn, self.mesh,
                     loss_name=cfg.loss, **kw)
             elif self.dp > 1:
@@ -163,7 +178,8 @@ class Trainer:
                     model, self.tx, self.loss_fn, self.mesh,
                     loss_name=cfg.loss, **kw)
             else:
-                self.train_step = make_ep_train_step(
+                mk = make_np_train_step if halo else make_ep_train_step
+                self.train_step = mk(
                     ep_model, self.tx, self.loss_fn, self.mesh, **kw)
             if self.dp > 1:
                 self.dp_eval_step = make_dp_eval_step(model, self.mesh)
@@ -211,20 +227,48 @@ class Trainer:
             full = group + [make_dummy_batch(group[0])] * (self.dp - len(group))
             yield group, full
 
+    def _partition(self, batch: GraphsTuple) -> GraphsTuple:
+        """Shard one batch over ep.  Halo mode keeps the per-shard edge/halo
+        widths on coarse rungs (grown on demand) so consecutive batches — and
+        all members of a dp group — share static shapes and one executable."""
+        from phc_gnn_tpu.parallel import partition_edges, partition_nodes
+        if self.ep_scheme != "halo":
+            return partition_edges(batch, self.ep)
+        es, h = self._np_slots
+        if es is not None:
+            try:
+                return partition_nodes(batch, self.ep, edge_slots=es,
+                                       halo_slots=h)
+            except AssertionError:
+                pass  # grow the rungs below
+        nat = partition_nodes(batch, self.ep)
+        need_es, need_h = nat.senders.shape[1], nat.halo_send.shape[2]
+        es = -(-max(need_es, es or 0) // 512) * 512
+        h = -(-max(need_h, h or 0) // 64) * 64
+        self._np_slots = (es, h)
+        log.info("halo partition rungs -> edge_slots=%d halo_slots=%d", es, h)
+        return partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h)
+
     def _parallel_train_epoch(self, state: TrainState, batches_iter,
                               lr_dev, consume):
-        from phc_gnn_tpu.parallel import partition_edges, stack_batches
+        from phc_gnn_tpu.parallel import stack_batches
         if self.dp > 1:
             for real, group in self._dp_groups(batches_iter):
                 if self.ep > 1:
-                    group = [partition_edges(b, self.ep) for b in group]
+                    raw = group
+                    before = self._np_slots
+                    group = [self._partition(b) for b in raw]
+                    if self._np_slots != before:
+                        # rungs grew mid-group: repack the RAW batches so the
+                        # whole group shares the final static shapes
+                        group = [self._partition(b) for b in raw]
                 stacked = stack_batches(group)
                 state, loss, outs = self.train_step(state, stacked, lr_dev)
                 for i, b in enumerate(real):
                     consume(b, loss, outs[i])
-        else:  # ep only: one full batch, edges sharded
+        else:  # ep only: one full batch, nodes or edges sharded
             for batch in batches_iter:
-                pb = partition_edges(batch, self.ep)
+                pb = self._partition(batch)
                 state, loss, out = self.train_step(state, pb, lr_dev)
                 consume(batch, loss, out)
         return state
