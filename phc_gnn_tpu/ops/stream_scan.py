@@ -34,6 +34,7 @@ stream ~4x (max, exp, two segment-sums).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -281,12 +282,15 @@ _seg_sum_streamed.defvjp(_seg_sum_streamed_fwd, _seg_sum_streamed_bwd)
 
 def segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
                          num_nodes: int, edge_mask=None,
-                         block_edges: int = DEFAULT_SCAN_BLOCK,
+                         block_edges: Optional[int] = None,
                          interpret: bool = False):
     """Masked segment-sum of ``msgs`` [E, D] (sorted by receiver) into
     [num_nodes, D] via the streaming scan kernel.  Differentiable (VJP =
-    gather).  Interpret mode is forced automatically off-TPU."""
+    gather).  Interpret mode is forced automatically off-TPU.  The block size
+    is recovered from the plan itself (flags rows / cont blocks) so callers
+    never have to thread the build-time ``scan_block`` through."""
     interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
     if edge_mask is not None:
         msgs = jnp.where(edge_mask[:, None], msgs, 0.0)
     return _seg_sum_streamed(num_nodes, block_edges, interpret,
@@ -370,12 +374,14 @@ _softmax_agg_streamed.defvjp(_softmax_agg_streamed_fwd,
 
 def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
                                num_nodes: int, beta, edge_mask=None,
-                               block_edges: int = DEFAULT_SCAN_BLOCK,
+                               block_edges: Optional[int] = None,
                                interpret: bool = False):
     """Softmax aggregation (scatter_softmax weights then weighted segment-sum,
     reference messagepassing.py:211-214) with the fused numerator/denominator
-    streaming scan.  Differentiable in msgs and beta."""
+    streaming scan.  Differentiable in msgs and beta.  Block size recovered
+    from the plan (see segment_sum_streamed)."""
     interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
     e = msgs.shape[0]
     mask_f = (jnp.ones((e,), jnp.float32) if edge_mask is None
               else edge_mask.astype(jnp.float32))

@@ -57,7 +57,9 @@ def _round_up(x: int, m: int) -> int:
 def partition_nodes(batch: GraphsTuple, num_shards: int,
                     halo_align: int = 8, edge_align: int = 128,
                     edge_slots: Optional[int] = None,
-                    halo_slots: Optional[int] = None) -> GraphsTuple:
+                    halo_slots: Optional[int] = None,
+                    scan_plan: bool = False,
+                    scan_block: Optional[int] = None) -> GraphsTuple:
     """Host-side partitioner: stacked per-shard arrays with leading axis S.
 
     Returns a GraphsTuple whose node/edge arrays carry a leading shard axis
@@ -65,7 +67,13 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     per-shard AUGMENTED feature array [NS + S*H]: rows < NS are local nodes,
     row NS + t*H + i is the i-th halo row received from shard t (see
     halo_exchange).  ``receivers`` are shard-local.  y/graph_mask stay global
-    (replicated).  Requires receiver-sorted edges (batch_graphs guarantees)."""
+    (replicated).  Requires receiver-sorted edges (batch_graphs guarantees).
+
+    With ``scan_plan=True`` also emits stacked per-shard streaming-scan plans
+    (ops/stream_scan.py): each shard's edge slice stays receiver-sorted
+    (contiguous slice of the sorted global list, shifted by the shard's node
+    offset; padding rows point at the last local row), so the single-chip
+    streamed aggregation kernel runs unchanged inside each shard."""
     S = num_shards
     N = batch.num_nodes
     NS = _round_up((N + S - 1) // S, 8)
@@ -166,13 +174,24 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
         out_send[s, :ne] = aug
         # padding receiver rows already NS-1 via init
 
+    scan_fields = {}
+    if scan_plan:
+        from phc_gnn_tpu.ops.stream_scan import (DEFAULT_SCAN_BLOCK,
+                                                 build_scan_plan)
+        blk = scan_block or DEFAULT_SCAN_BLOCK
+        plans = [build_scan_plan(out_recv[s], NS, blk) for s in range(S)]
+        scan_fields = dict(
+            scan_flags=jnp.asarray(np.stack([p[0] for p in plans])),
+            scan_cont=jnp.asarray(np.stack([p[1] for p in plans])),
+            last_edge=jnp.asarray(np.stack([p[2] for p in plans])))
+
     return GraphsTuple(
         nodes=jnp.asarray(out_nodes), edges=jnp.asarray(out_edges),
         senders=jnp.asarray(out_send), receivers=jnp.asarray(out_recv),
         graph_ids=jnp.asarray(out_gids),
         node_mask=jnp.asarray(out_nmask), edge_mask=jnp.asarray(out_emask),
         graph_mask=batch.graph_mask, y=batch.y,
-        halo_send=jnp.asarray(halo_send))
+        halo_send=jnp.asarray(halo_send), **scan_fields)
 
 
 def halo_exchange(x: jax.Array, halo_send: jax.Array, axis_name: str):
@@ -186,34 +205,38 @@ def halo_exchange(x: jax.Array, halo_send: jax.Array, axis_name: str):
                               tiled=True)
 
 
-def node_partition_specs(has_y: bool = True) -> GraphsTuple:
+def node_partition_specs(has_y: bool = True,
+                         has_scan: bool = False) -> GraphsTuple:
     """PartitionSpecs: per-shard stacks over ep, labels/graph masks replicated."""
+    scan = dict(scan_flags=P("ep"), scan_cont=P("ep"),
+                last_edge=P("ep")) if has_scan else {}
     return GraphsTuple(
         nodes=P("ep"), edges=P("ep"), senders=P("ep"), receivers=P("ep"),
         graph_ids=P("ep"), node_mask=P("ep"), edge_mask=P("ep"),
-        graph_mask=P(), y=P() if has_y else None, halo_send=P("ep"))
+        graph_mask=P(), y=P() if has_y else None, halo_send=P("ep"), **scan)
 
 
 def _strip_shard_axis(batch: GraphsTuple) -> GraphsTuple:
     """Drop the leading per-device axis of the stacked shard arrays (inside
     shard_map each device holds [1, ...]); replicated fields pass through."""
     stacked = {"nodes", "edges", "senders", "receivers", "graph_ids",
-               "node_mask", "edge_mask", "halo_send"}
+               "node_mask", "edge_mask", "halo_send", "scan_flags",
+               "scan_cont", "last_edge"}
     updates = {f: getattr(batch, f)[0] for f in stacked
                if getattr(batch, f) is not None}
     return batch.replace(**updates)
 
 
 def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool, out_spec=P()):
-    step_y = shard_map(device_step, mesh=mesh,
-                       in_specs=(P(), specs_fn(True), P()),
-                       out_specs=(P(), P(), out_spec), check_vma=False)
-    step_no_y = shard_map(device_step, mesh=mesh,
-                          in_specs=(P(), specs_fn(False), P()),
-                          out_specs=(P(), P(), out_spec), check_vma=False)
+    variants = {
+        (has_y, has_scan): shard_map(
+            device_step, mesh=mesh,
+            in_specs=(P(), specs_fn(has_y, has_scan), P()),
+            out_specs=(P(), P(), out_spec), check_vma=False)
+        for has_y in (True, False) for has_scan in (True, False)}
 
     def dispatch(state, batch, lr):
-        step = step_y if batch.y is not None else step_no_y
+        step = variants[(batch.y is not None, batch.scan_flags is not None)]
         return step(state, batch, lr)
 
     return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
@@ -253,14 +276,17 @@ def make_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
     return _jit_y_dispatch(device_step, mesh, node_partition_specs, donate)
 
 
-def make_dp_np_batch_specs(has_y: bool = True) -> GraphsTuple:
+def make_dp_np_batch_specs(has_y: bool = True,
+                           has_scan: bool = False) -> GraphsTuple:
     """dp x np: leading device-stack axis over dp, shard stack over ep."""
+    scan = dict(scan_flags=P("dp", "ep"), scan_cont=P("dp", "ep"),
+                last_edge=P("dp", "ep")) if has_scan else {}
     return GraphsTuple(
         nodes=P("dp", "ep"), edges=P("dp", "ep"), senders=P("dp", "ep"),
         receivers=P("dp", "ep"), graph_ids=P("dp", "ep"),
         node_mask=P("dp", "ep"), edge_mask=P("dp", "ep"),
         graph_mask=P("dp"), y=P("dp") if has_y else None,
-        halo_send=P("dp", "ep"))
+        halo_send=P("dp", "ep"), **scan)
 
 
 def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
@@ -294,18 +320,5 @@ def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                                   opt_state=new_opt_state, step=state.step + 1)
         return new_state, loss, out[None]
 
-    def specs_fn(has_y):
-        return make_dp_np_batch_specs(has_y)
-
-    step_y = shard_map(device_step, mesh=mesh,
-                      in_specs=(P(), specs_fn(True), P()),
-                      out_specs=(P(), P(), P("dp")), check_vma=False)
-    step_no_y = shard_map(device_step, mesh=mesh,
-                          in_specs=(P(), specs_fn(False), P()),
-                          out_specs=(P(), P(), P("dp")), check_vma=False)
-
-    def dispatch(state, batch, lr):
-        step = step_y if batch.y is not None else step_no_y
-        return step(state, batch, lr)
-
-    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+    return _jit_y_dispatch(device_step, mesh, make_dp_np_batch_specs, donate,
+                           out_spec=P("dp"))

@@ -140,6 +140,13 @@ class Trainer:
         self.scan_steps = None
         self.scan_eval = None
         self.ep_scheme = str(getattr(cfg, "ep_scheme", "halo") or "halo")
+        # streamed-scan aggregation inside each halo shard (per-shard edge
+        # slices stay receiver-sorted, so the single-chip kernel composes);
+        # same gating as the single-device loader path (benchmarks/common.py)
+        _agg = str(getattr(cfg, "agg_kernel", "auto") or "auto")
+        self.ep_scan = self.ep_scheme == "halo" and (
+            _agg == "stream"
+            or (_agg == "auto" and jax.default_backend() == "tpu"))
         if self.dp > 1 or self.ep > 1:
             # multi-chip path: (dp, ep) mesh; the train step is a shard_map'd
             # collective step, eval/init use the axis-free model (params trees
@@ -238,7 +245,7 @@ class Trainer:
         if es is not None:
             try:
                 return partition_nodes(batch, self.ep, edge_slots=es,
-                                       halo_slots=h)
+                                       halo_slots=h, scan_plan=self.ep_scan)
             except AssertionError:
                 pass  # grow the rungs below
         nat = partition_nodes(batch, self.ep)
@@ -247,7 +254,8 @@ class Trainer:
         h = -(-max(need_h, h or 0) // 64) * 64
         self._np_slots = (es, h)
         log.info("halo partition rungs -> edge_slots=%d halo_slots=%d", es, h)
-        return partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h)
+        return partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h,
+                               scan_plan=self.ep_scan)
 
     def _parallel_train_epoch(self, state: TrainState, batches_iter,
                               lr_dev, consume):

@@ -1,6 +1,8 @@
-"""Ablation timing of the flagship train step: where do the 4.5 ms go?
+"""Ablation timing of the flagship train step: where do the ~4.2 ms go?
 
-Variants isolate the aggregation style, BN, dropout, and conv count.
+Variants isolate the aggregation kernel (streamed scan vs XLA), aggregation
+style, BN, dropout, pooling, and conv count (layer-count slope isolates the
+per-conv cost from the fixed encoder/pool/downstream/optimizer cost).
 Slope-method timing (see bench.py docstring).
 """
 
@@ -17,6 +19,7 @@ sys.path.insert(0, ".")
 
 from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS, synthetic_batch
 from phc_gnn_tpu.models import PHCGNN
+from phc_gnn_tpu.ops.stream_scan import attach_scan_plan
 from phc_gnn_tpu.train import create_train_state, make_optimizer, make_train_step
 from phc_gnn_tpu.train.loss import masked_l1
 
@@ -33,7 +36,7 @@ def _t(f):
     t0 = time.perf_counter(); float(f()); return time.perf_counter() - t0
 
 
-def time_step(name, batch_scale=1, **model_kw):
+def time_step(name, batch_scale=1, scan=True, **model_kw):
     dim = 200
     kw = dict(
         phm_dim=4, atom_input_dims=ZINC_ATOM_DIMS,
@@ -48,6 +51,8 @@ def time_step(name, batch_scale=1, **model_kw):
     batch = synthetic_batch(batch_size=128 * batch_scale,
                             num_nodes=4096 * batch_scale,
                             num_edges=8192 * batch_scale, seed=0)
+    if scan:
+        batch = attach_scan_plan(batch)
     tx = make_optimizer(1e-3, grad_clip=2.0)
     state0 = create_train_state(model, tx, batch, jax.random.key(0))
     step = make_train_step(model, tx, lambda o, b: masked_l1(o, b.y),
@@ -72,10 +77,25 @@ def time_step(name, batch_scale=1, **model_kw):
 
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
-    time_step("baseline_softmax")
-    time_step("sum_aggr", msg_aggr="sum")
-    time_step("no_norm", norm_mp=None, norm_dn=None)
-    time_step("no_pool_attn", pooling="globalsum")
-    time_step("4x_bucket", batch_scale=4)
-    time_step("4x_bucket_sum", batch_scale=4, msg_aggr="sum")
-    time_step("4x_bucket_no_norm", batch_scale=4, norm_mp=None, norm_dn=None)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "main"):
+        base = time_step("baseline_softmax_scan")
+        time_step("baseline_softmax_xla", scan=False)
+        time_step("sum_aggr_scan", msg_aggr="sum")
+        time_step("no_norm", norm_mp=None, norm_dn=None)
+        time_step("no_dropout", dropout_mpnn=(0.0,) * 4, dropout_dn=(0.0, 0.0))
+        time_step("no_pool_attn", pooling="globalsum")
+        time_step("no_mlp_mp", mlp_mp=False)
+        t2 = time_step("layers_2", mp_layers=(200,) * 2)
+        t8 = time_step("layers_8", mp_layers=(200,) * 8)
+        per_layer = (t8 - t2) / 6
+        print(json.dumps({"derived": "per_conv_ms",
+                          "ms": round(per_layer * 1e3, 3),
+                          "fixed_ms": round((base - 4 * per_layer) * 1e3, 3)}),
+              flush=True)
+    if which in ("all", "buckets"):
+        time_step("4x_bucket_scan", batch_scale=4)
+        time_step("4x_bucket_xla", batch_scale=4, scan=False)
+        time_step("4x_bucket_sum", batch_scale=4, msg_aggr="sum")
+        time_step("4x_bucket_no_norm", batch_scale=4, norm_mp=None,
+                  norm_dn=None)

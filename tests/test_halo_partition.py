@@ -146,6 +146,36 @@ def test_np_step_matches_single_device():
                                    atol=1e-5)
 
 
+def test_np_step_with_scan_plan_matches_single_device():
+    """Halo partitioning composing with the streaming-scan aggregation kernel
+    (per-shard edge slices stay receiver-sorted, KERNELS.md): the node-parallel
+    step with per-shard scan plans equals the single-device step."""
+    S = 8
+    mesh = make_mesh(dp=1, ep=S)
+    batch = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=1)
+    part = partition_nodes(batch, S, scan_plan=True, scan_block=128)
+    assert part.scan_flags is not None and part.scan_flags.shape[0] == S
+    # per-shard receivers must be sorted (the kernel's precondition)
+    recv = np.asarray(part.receivers)
+    assert all(np.all(recv[s, 1:] >= recv[s, :-1]) for s in range(S))
+
+    tx = optax.chain(optax.scale(-1.0))
+    model_1 = PHCGNN(phm_dim=4, **MODEL_KW)
+    state = create_train_state(model_1, tx, batch, jax.random.key(0))
+    step_1 = make_train_step(model_1, tx, loss_fn, donate=False)
+    new_1, loss_1, _ = step_1(state, batch, jnp.float32(1e-3))
+
+    model_np = PHCGNN(phm_dim=4, node_axis="ep", **MODEL_KW)
+    step_np = make_np_train_step(model_np, tx, loss_fn, mesh, donate=False)
+    new_np, loss_np, _ = step_np(state, part, jnp.float32(1e-3))
+
+    np.testing.assert_allclose(float(loss_1), float(loss_np), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(new_1.params),
+                    jax.tree_util.tree_leaves(new_np.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-4,
+                                   atol=1e-5)
+
+
 def test_dp_np_combined_step_matches_single_device():
     """(dp=2, ep=4): two batches node-sharded 4 ways must reproduce the
     average of the two single-device steps (equal loss weights by

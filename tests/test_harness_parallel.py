@@ -121,3 +121,17 @@ def test_ep_only_harness_run(tmp_path):
     rows = _scalars(save)
     assert len(rows) == 2
     assert np.isfinite(summary["best_val"]["mean"])
+
+
+def test_ep_harness_run_with_stream_kernel(tmp_path):
+    """--agg_kernel stream under halo ep through the CLI: the trainer attaches
+    per-shard scan plans (interpret-mode kernel on CPU) and training still
+    converges."""
+    save = str(tmp_path / "syn")
+    summary = run_benchmark("synthetic", SMALL + [
+        "--ep", "2", "--epochs", "2", "--agg_kernel", "stream",
+        "--save_dir", save])
+    rows = _scalars(save)
+    assert len(rows) == 2
+    assert rows[-1]["train_loss"] < rows[0]["train_loss"]
+    assert np.isfinite(summary["best_val"]["mean"])
