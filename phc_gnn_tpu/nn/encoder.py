@@ -5,8 +5,12 @@ stacks to ``[N, n, d]``; ``NaivePHMEncoder`` runs one and copies it to all
 components (reference: phc/hypercomplex/encoder.py:7-77,
 phc/quaternion/encoder.py:9-60).
 
-On TPU the embedding gathers are batched ``jnp.take`` over small OGB vocab
-tables — XLA fuses the per-column lookups and the sum-combine.
+On TPU the sum-combined embedding lookup is ONE one-hot matmul over the
+concatenated vocab tables: XLA lowers ``jnp.take``'s backward as a scatter-add
+into the table, measured at ~118 us per table at flagship shapes vs ~21 us
+for the matmul pair whose backward is just the transposed matmul
+(scripts/bench_edge_ops.py, KERNELS.md) — with 3 bond tables per conv layer
+the scatter path was the single largest hidden cost in the train step.
 """
 
 from __future__ import annotations
@@ -38,12 +42,24 @@ class IntegerEncoder(nn.Module):
         init = nn.initializers.variance_scaling(
             # xavier_uniform with gain sqrt(2): scale = gain^2 = 2
             scale=2.0, mode="fan_avg", distribution="uniform")
-        outs = []
-        for i, vocab in enumerate(self.input_dims):
-            table = self.param(f"embedding_{i}", init, (vocab, self.out_dim))
-            outs.append(jnp.take(table, x[:, i], axis=0))
+        tables = [self.param(f"embedding_{i}", init, (vocab, self.out_dim))
+                  for i, vocab in enumerate(self.input_dims)]
         if self.combine == "sum":
-            return sum(outs)
+            # one-hot matmul over the concatenated tables: sum_i T_i[x_i] ==
+            # (sum_i onehot(x_i + off_i)) @ concat(T).  Forward is one MXU
+            # call; backward is the transposed matmul — no scatter (~6x,
+            # see module docstring).
+            offs, total = [], 0
+            for v in self.input_dims:
+                offs.append(total)
+                total += v
+            idx = x + jnp.asarray(offs, x.dtype)[None, :]          # [B, F]
+            vocab_iota = jnp.arange(total, dtype=idx.dtype)
+            onehot = jnp.sum(
+                (idx[:, :, None] == vocab_iota[None, None, :])
+                .astype(jnp.float32), axis=1)                       # [B, V]
+            return onehot @ jnp.concatenate(tables, axis=0)
+        outs = [jnp.take(t, x[:, i], axis=0) for i, t in enumerate(tables)]
         return jnp.concatenate(outs, axis=-1)
 
 

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "attach_scan_plan",
     "build_scan_plan",
+    "segment_max_streamed",
     "segment_sum_streamed",
     "softmax_aggregate_streamed",
     "DEFAULT_SCAN_BLOCK",
@@ -101,23 +102,30 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK):
                          last_edge=jnp.asarray(last))
 
 
+_NEG = -1e30  # identity element of the max scan
+
+
 def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
-                 vals2_ref=None, out2_ref=None):
+                 vals2_ref=None, out2_ref=None, op: str = "add"):
     """One grid step: segmented inclusive scan of a [BE, D] block with carry.
 
     When vals2/out2 are present, the identical flag structure scans a second
     stream in the same pass (the softmax numerator/denominator pair).
+    ``op`` picks the combine: 'add' (segment sum) or 'max' (segment max,
+    identity -1e30 — used for the streamed softmax max pass).
     """
     b = pl.program_id(0)
     be = vals_ref.shape[0]
 
-    # scratch persists across grid steps but starts uninitialized: zero it on
-    # the first step (gate*garbage would still be NaN for garbage=NaN)
+    # scratch persists across grid steps but starts uninitialized: set it to
+    # the combine's identity on the first step (gate*garbage would still be
+    # NaN for garbage=NaN)
     @pl.when(b == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
+        ident = 0.0 if op == "add" else _NEG
+        carry[...] = jnp.full_like(carry, ident)
         if carry2 is not None:
-            carry2[...] = jnp.zeros_like(carry2)
+            carry2[...] = jnp.full_like(carry2, ident)
 
     f = flags_ref[...]  # [BE, 1] 1.0 = segment start
     # barrier at row 0: within-block scan treats row 0 as a start
@@ -132,10 +140,14 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
             fs = pltpu.roll(ff, s, axis=0)
             shifted_valid = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
                              >= s).astype(v.dtype)
-            vs = vs * shifted_valid
             fs = jnp.maximum(fs * shifted_valid[..., 0:1],
                              1.0 - shifted_valid[..., 0:1])
-            v = v + (1.0 - ff) * vs
+            if op == "add":
+                vs = vs * shifted_valid
+                v = v + (1.0 - ff) * vs
+            else:
+                gate = (1.0 - ff) * shifted_valid
+                v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
             ff = jnp.maximum(ff, fs)
             s *= 2
         return v
@@ -161,9 +173,15 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
     s0 = (fl == 0.0).astype(v1.dtype)
     use_carry = (b > 0) & (cont_ref[b] == 1)
     gate = jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
-    v1 = v1 + s0 * gate * carry[0:1, :]
-    if vals2_ref is not None:
-        v2 = v2 + s0 * gate * carry2[0:1, :]
+    if op == "add":
+        v1 = v1 + s0 * gate * carry[0:1, :]
+        if vals2_ref is not None:
+            v2 = v2 + s0 * gate * carry2[0:1, :]
+    else:
+        v1 = jnp.maximum(v1, jnp.where(s0 * gate > 0, carry[0:1, :], _NEG))
+        if vals2_ref is not None:
+            v2 = jnp.maximum(v2, jnp.where(s0 * gate > 0, carry2[0:1, :],
+                                           _NEG))
 
     carry[0:1, :] = v1[be - 1:be, :]
     out_ref[...] = v1
@@ -184,9 +202,8 @@ def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
     """Segmented inclusive prefix sum of ``vals`` [EB, D] along axis 0."""
     eb, d = vals.shape
     assert eb % block_edges == 0
-    d_pad = _round_up(d, 128)
-    if d_pad != d:
-        vals = jnp.pad(vals, ((0, 0), (0, d_pad - d)))
+    d_pad = d  # Mosaic masks unaligned minor dims in-block; an explicit pad
+    # would cost a full extra pass over the stream (measured, KERNELS.md)
     nb = eb // block_edges
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cont
@@ -208,16 +225,62 @@ def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _segmented_scan_max(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
+                        interpret: bool = False):
+    """Segmented inclusive prefix MAX of ``vals`` [EB, D] along axis 0.
+    Rows that must not win (padding) should carry -1e30."""
+    eb, d = vals.shape
+    assert eb % block_edges == 0
+    d_pad = d  # unaligned minor dim handled by Mosaic masking (see above)
+    nb = eb // block_edges
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), lambda b, c: (b, 0)),
+            pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((8, d_pad), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_scan_kernel, op="max"),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((eb, d_pad), vals.dtype),
+        interpret=interpret,
+    )(cont, flags, vals)
+    return out[:, :d]
+
+
+def segment_max_streamed(vals, flags, cont, last_edge, num_nodes: int,
+                         block_edges: Optional[int] = None,
+                         interpret: bool = False):
+    """Segment max of receiver-sorted ``vals`` [E, D] into [num_nodes, D]
+    via the streaming max-scan (replaces XLA's scatter-max lowering of
+    jax.ops.segment_max).  Masked rows must already carry -1e30; empty
+    segments return 0.  Not differentiable (softmax uses it under
+    stop_gradient only)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    eb = flags.shape[0]
+    e = vals.shape[0]
+    if e != eb:
+        vals = jnp.pad(vals, ((0, eb - e), (0, 0)), constant_values=_NEG)
+    scan = _segmented_scan_max(vals, flags, cont, block_edges=block_edges,
+                               interpret=interpret)
+    out = jnp.take(scan, jnp.clip(last_edge, 0, eb - 1), axis=0)
+    has_edges = (last_edge >= 0)[:, None]
+    return jnp.where(has_edges & (out > _NEG / 2), out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
 def _segmented_scan_pair(vals, vals2, flags, cont,
                          block_edges: int = DEFAULT_SCAN_BLOCK,
                          interpret: bool = False):
     """Joint segmented scans of two equally-flagged streams in one pass."""
     eb, d = vals.shape
     assert eb % block_edges == 0
-    d_pad = _round_up(d, 128)
-    if d_pad != d:
-        vals = jnp.pad(vals, ((0, 0), (0, d_pad - d)))
-        vals2 = jnp.pad(vals2, ((0, 0), (0, d_pad - d)))
+    d_pad = d  # unaligned minor dim handled by Mosaic masking (see above)
     nb = eb // block_edges
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -314,13 +377,15 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                        cont, last_edge, receivers, edge_mask_f):
     eb = flags.shape[0]
     e = msgs.shape[0]
+    block = flags.shape[0] // cont.shape[0]
     logits = beta * msgs
-    # two-pass max (XLA segment-max is cheap: one pass over logits)
-    neg = jnp.float32(-1e30)
-    seg_max = jax.ops.segment_max(
-        jnp.where(edge_mask_f[:, None] > 0, jax.lax.stop_gradient(logits), neg),
-        receivers, num_segments=num_nodes)
-    seg_max = jnp.where(seg_max <= neg / 2, 0.0, seg_max)
+    # max pass rides the same streaming scan (max combine) instead of XLA's
+    # scatter-max lowering of segment_max
+    seg_max = segment_max_streamed(
+        jnp.where(edge_mask_f[:, None] > 0, jax.lax.stop_gradient(logits),
+                  _NEG),
+        flags, cont, last_edge, num_nodes, block_edges=block,
+        interpret=interpret)
     w = jnp.exp(logits - jnp.take(seg_max, receivers, axis=0))
     w = w * edge_mask_f[:, None]
     numer, denom = _segmented_scan_pair(

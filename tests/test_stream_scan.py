@@ -110,3 +110,40 @@ def test_softmax_aggregate_streamed_grads_match_composite():
     np.testing.assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=2e-4,
                                atol=2e-5)
     np.testing.assert_allclose(float(gb), float(gb_ref), rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("E,N,D,block", [
+    (300, 64, 48, 128),
+    (1024, 256, 128, 256),
+    (90, 640, 20, 128),
+])
+def test_segment_max_streamed_matches_oracle(E, N, D, block):
+    from phc_gnn_tpu.ops.stream_scan import segment_max_streamed
+
+    msgs, recv, flags, cont, last, mask = _case(5, E, N, D, block=block)
+    masked = jnp.where(mask[:, None], msgs, -1e30)
+    got = segment_max_streamed(masked, flags, cont, last, N,
+                               block_edges=block)
+    want = np.zeros((N, D), np.float32)
+    m_np, r_np, k_np = map(np.asarray, (msgs, recv, mask))
+    for n in range(N):
+        sel = (r_np == n) & k_np
+        if sel.any():
+            want[n] = m_np[sel].max(axis=0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_segment_max_streamed_single_segment_spanning_blocks():
+    from phc_gnn_tpu.ops.stream_scan import segment_max_streamed
+
+    E, N, D, block = 700, 4, 16, 128
+    rng = np.random.default_rng(6)
+    recv = np.zeros(E, np.int32)  # everything in segment 0
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    got = segment_max_streamed(jnp.asarray(msgs), jnp.asarray(flags),
+                               jnp.asarray(cont), jnp.asarray(last), N,
+                               block_edges=block)
+    np.testing.assert_allclose(np.asarray(got)[0], msgs.max(axis=0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got)[1:], 0.0)
