@@ -151,6 +151,10 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
                    choices=["auto", "stream", "xla"],
                    help="segment aggregation kernel (auto: streaming Pallas "
                         "scan on TPU, XLA composite elsewhere)")
+    p.add_argument("--rng_impl", type=str, default=cfg.rng_impl,
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG (rbg = TPU hardware RNG, faster mask "
+                        "generation; param init stays threefry)")
     # activation
     p.add_argument("--activation", type=str, default=cfg.activation,
                    choices=["relu", "lrelu", "elu", "selu", "swish"])

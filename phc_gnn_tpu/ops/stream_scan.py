@@ -105,17 +105,17 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK):
 _NEG = -1e30  # identity element of the max scan
 
 
-def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
-                 vals2_ref=None, out2_ref=None, op: str = "add"):
-    """One grid step: segmented inclusive scan of a [BE, D] block with carry.
+def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
+               carry2, op: str = "add"):
+    """Segmented inclusive scan of one grid step's [BE, D] VALUES with carry.
 
-    When vals2/out2 are present, the identical flag structure scans a second
+    When v2_in/out2 are present, the identical flag structure scans a second
     stream in the same pass (the softmax numerator/denominator pair).
     ``op`` picks the combine: 'add' (segment sum) or 'max' (segment max,
     identity -1e30 — used for the streamed softmax max pass).
     """
     b = pl.program_id(0)
-    be = vals_ref.shape[0]
+    be = v1_in.shape[0]
 
     # scratch persists across grid steps but starts uninitialized: set it to
     # the combine's identity on the first step (gate*garbage would still be
@@ -152,9 +152,9 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
             s *= 2
         return v
 
-    v1 = scan_stream(vals_ref[...])
-    if vals2_ref is not None:
-        v2 = scan_stream(vals2_ref[...])
+    v1 = scan_stream(v1_in)
+    if v2_in is not None:
+        v2 = scan_stream(v2_in)
 
     # continuation: add the carried trailing-segment sum to every row of this
     # block's FIRST run (rows before the first in-block boundary).
@@ -175,25 +175,43 @@ def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
     gate = jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
     if op == "add":
         v1 = v1 + s0 * gate * carry[0:1, :]
-        if vals2_ref is not None:
+        if v2_in is not None:
             v2 = v2 + s0 * gate * carry2[0:1, :]
     else:
         v1 = jnp.maximum(v1, jnp.where(s0 * gate > 0, carry[0:1, :], _NEG))
-        if vals2_ref is not None:
+        if v2_in is not None:
             v2 = jnp.maximum(v2, jnp.where(s0 * gate > 0, carry2[0:1, :],
                                            _NEG))
 
     carry[0:1, :] = v1[be - 1:be, :]
     out_ref[...] = v1
-    if vals2_ref is not None:
+    if v2_in is not None:
         carry2[0:1, :] = v2[be - 1:be, :]
         out2_ref[...] = v2
+
+
+def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
+                 vals2_ref=None, out2_ref=None, op: str = "add"):
+    _scan_core(cont_ref, flags_ref, vals_ref[...],
+               vals2_ref[...] if vals2_ref is not None else None,
+               out_ref, out2_ref, carry, carry2, op)
 
 
 def _scan_kernel_pair(cont_ref, flags_ref, vals_ref, vals2_ref, out_ref,
                       out2_ref, carry, carry2):
     _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2,
                  vals2_ref, out2_ref)
+
+
+def _softmax_scan_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, smax_ref,
+                         mask_ref, out_ref, out2_ref, carry, carry2):
+    """Fused softmax-numerator/denominator scan: computes
+    w = exp(beta*m - segmax_e) * mask in VMEM and jointly scans [w*m, w] —
+    the w and w*m streams never round-trip through HBM."""
+    m = msgs_ref[...]
+    w = jnp.exp(beta_ref[0] * m - smax_ref[...]) * mask_ref[...]
+    _scan_core(cont_ref, flags_ref, w * m, w, out_ref, out2_ref, carry,
+               carry2, "add")
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
@@ -307,6 +325,41 @@ def _segmented_scan_pair(vals, vals2, flags, cont,
     return out1[:, :d], out2[:, :d]
 
 
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _segmented_scan_softmax(msgs, smax_e, mask, beta, flags, cont,
+                            block_edges: int = DEFAULT_SCAN_BLOCK,
+                            interpret: bool = False):
+    """Fused softmax scans: w = exp(beta*msgs - smax_e) * mask computed
+    in-VMEM, then joint segmented scans of [w*msgs, w].  Saves the four HBM
+    round-trips of materializing w and w*msgs for the pair kernel."""
+    eb, d = msgs.shape
+    assert eb % block_edges == 0
+    nb = eb // block_edges
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cont, beta
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
+                        pltpu.VMEM((8, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _softmax_scan_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((eb, d), msgs.dtype),
+                   jax.ShapeDtypeStruct((eb, d), msgs.dtype)],
+        interpret=interpret,
+    )(cont, beta.reshape(1), flags, msgs, smax_e, mask)
+
+
 def _pad_rows(x, eb):
     e = x.shape[0]
     if e == eb:
@@ -386,11 +439,11 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                   _NEG),
         flags, cont, last_edge, num_nodes, block_edges=block,
         interpret=interpret)
-    w = jnp.exp(logits - jnp.take(seg_max, receivers, axis=0))
-    w = w * edge_mask_f[:, None]
-    numer, denom = _segmented_scan_pair(
-        _pad_rows(w * msgs, eb), _pad_rows(w, eb), flags, cont,
-        block_edges=block_edges, interpret=interpret)
+    smax_e = jnp.take(seg_max, receivers, axis=0)
+    numer, denom = _segmented_scan_softmax(
+        _pad_rows(msgs, eb), _pad_rows(smax_e, eb),
+        _pad_rows(edge_mask_f[:, None], eb), jnp.asarray(beta, jnp.float32),
+        flags, cont, block_edges=block, interpret=interpret)
     last = jnp.clip(last_edge, 0, eb - 1)
     num_end = jnp.take(numer, last, axis=0)
     den_end = jnp.take(denom, last, axis=0)
@@ -422,11 +475,15 @@ def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
     """
     (msgs, beta, seg_max, den_end, out, flags, cont, last_edge, receivers,
      edge_mask_f) = res
-    w = jnp.exp(beta * msgs - jnp.take(seg_max, receivers, axis=0))
-    w = w * edge_mask_f[:, None]
-    wt = w / jnp.take(den_end, receivers, axis=0)
-    g_e = jnp.take(g, receivers, axis=0)
-    s_e = jnp.take(out * g, receivers, axis=0)
+    # ONE node->edge gather for all four per-node residuals (XLA does not
+    # fuse separate gathers; concat along features makes it a single take)
+    d = msgs.shape[1]
+    packed = jnp.concatenate([seg_max, den_end, g, out * g], axis=1)
+    pe = jnp.take(packed, receivers, axis=0)
+    smax_e, den_e, g_e, s_e = (pe[:, :d], pe[:, d:2 * d], pe[:, 2 * d:3 * d],
+                               pe[:, 3 * d:])
+    w = jnp.exp(beta * msgs - smax_e) * edge_mask_f[:, None]
+    wt = w / den_e
     mg = msgs * g_e
     dm = wt * (g_e + beta * (mg - s_e))
     dbeta = jnp.sum(wt * msgs * (mg - s_e))

@@ -330,9 +330,14 @@ class Trainer:
         run_dir = os.path.join(cfg.save_dir, f"run_{run_idx}")
         os.makedirs(run_dir, exist_ok=True)
         seed = cfg.seed + run_idx - 1
-        rng = jax.random.key(seed)
+        # training rng (dropout masks) may ride the TPU hardware RNG (rbg);
+        # param init always uses the default threefry key for reproducibility
+        impl = getattr(cfg, "rng_impl", "threefry2x32") or "threefry2x32"
+        rng = jax.random.key(seed, impl=impl)
         sample = next(iter(self.train_batches(seed)))
-        state = self._place(create_train_state(self.model, self.tx, sample, rng))
+        state = self._place(create_train_state(
+            self.model, self.tx, sample, rng,
+            init_rng=jax.random.key(seed)))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         log.info("run %d: %d params, seed %d", run_idx, n_params, seed)
 

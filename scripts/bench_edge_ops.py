@@ -26,7 +26,9 @@ sys.path.insert(0, ".")
 
 from phc_gnn_tpu.ops.stream_scan import build_scan_plan, segment_sum_streamed
 
-E, N, D, VOCAB = 8192, 4096, 200, 12
+import os
+_SC = int(os.environ.get("SCALE", "1"))
+E, N, D, VOCAB = 8192 * _SC, 4096 * _SC, 200, 12
 
 
 def slope(make_f, n1=20, n2=220, reps=3):

@@ -1,6 +1,7 @@
 """L5 harness tests: losses, evaluators, plateau scheduler, end-to-end training
 on synthetic ZINC-like data with checkpoint/resume."""
 
+import dataclasses
 import json
 import os
 
@@ -187,6 +188,44 @@ def test_trainer_resume(tmp_path):
     # resume: epochs already done -> no extra epochs, state restores cleanly
     res = trainer.do_run(1, resume=True)
     assert np.isfinite(res["best_val"])
+
+
+def test_trainer_rbg_rng_trains_and_resumes(tmp_path):
+    """rng_impl='rbg' (TPU hardware RNG for dropout masks): training works
+    with dropout ON, the rbg-typed key round-trips through the orbax
+    checkpoint on resume, and param init (threefry) is unchanged."""
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=2,
+        lr=1e-3, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=16, mp_units=(16, 16), d_units=(16,),
+        dropout_mpnn=(0.3, 0.3), dropout_dn=(0.3,), aggr_msg="sum",
+        mlp_mp=True, target_dim=1, batch_size=8, rng_impl="rbg")
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    train_b, valid_b = _providers(n_train=2, n_valid=1, bs=8)
+    trainer = Trainer(cfg, model, train_b, valid_b)
+    res = trainer.do_run(1)
+    assert np.isfinite(res["best_val"])
+    res2 = trainer.do_run(1, resume=True)
+    assert np.isfinite(res2["best_val"])
+
+    # param init is rng_impl-independent (threefry init key)
+    cfg_tf = dataclasses.replace(cfg, rng_impl="threefry2x32",
+                                 save_dir=str(tmp_path / "exp_tf"))
+    from phc_gnn_tpu.train import create_train_state, make_optimizer
+    sample = next(iter(train_b(cfg.seed)))
+    tx = make_optimizer(1e-3)
+    for c in (cfg, cfg_tf):
+        impl = c.rng_impl
+        st = create_train_state(model, tx, sample,
+                                jax.random.key(0, impl=impl),
+                                init_rng=jax.random.key(0))
+        if impl == "rbg":
+            p_rbg = st.params
+        else:
+            p_tf = st.params
+    for a, b in zip(jax.tree_util.tree_leaves(p_rbg),
+                    jax.tree_util.tree_leaves(p_tf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_trainer_scan_chunk_matches_default(tmp_path):
