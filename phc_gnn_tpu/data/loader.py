@@ -18,6 +18,8 @@ from typing import Callable, Iterator, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from phc_gnn_tpu.utils import round_up
+
 from phc_gnn_tpu.data import native
 from phc_gnn_tpu.graph.batch import GraphsTuple, batch_graphs
 
@@ -39,9 +41,6 @@ class BucketSpec:
                 f"graphs={self.num_graphs})")
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
 
 def compute_bucket_spec(graphs: Sequence[dict], batch_size: int,
                         target_dim: Optional[int] = None,
@@ -55,8 +54,8 @@ def compute_bucket_spec(graphs: Sequence[dict], batch_size: int,
     edges = max(batch_size * float(e_sizes.mean()) * safety,
                 float(e_sizes.max()))
     return BucketSpec(
-        num_nodes=_round_up(int(nodes) + 1, align),
-        num_edges=_round_up(int(edges), align),
+        num_nodes=round_up(int(nodes) + 1, align),
+        num_edges=round_up(int(edges), align),
         num_graphs=batch_size + 1,
         target_dim=target_dim)
 
@@ -93,8 +92,8 @@ class PaddedLoader:
         self.ladder = [bucket]
         for _ in range(sub_buckets - 1):
             prev = self.ladder[-1]
-            nodes = _round_up(max(prev.num_nodes // 2, align), align)
-            edges = _round_up(max(prev.num_edges // 2, align), align)
+            nodes = round_up(max(prev.num_nodes // 2, align), align)
+            edges = round_up(max(prev.num_edges // 2, align), align)
             if nodes == prev.num_nodes and edges == prev.num_edges:
                 break
             self.ladder.append(BucketSpec(nodes, edges, prev.num_graphs,
@@ -204,7 +203,7 @@ def apply_plan_layout(batch: GraphsTuple, tile_nodes: int = 128,
     recv = np.asarray(batch.receivers)
     plan = build_segment_plan_native(recv, n, tile_nodes, block_edges)
     if num_blocks is None:
-        num_blocks = _round_up(plan.block_tile.shape[0], 8)
+        num_blocks = round_up(plan.block_tile.shape[0], 8)
     plan = pad_plan_to(plan, num_blocks)
 
     perm = plan.edge_perm
@@ -230,4 +229,4 @@ def plan_blocks_for_bucket(bucket: BucketSpec, tile_nodes: int = 128,
                            block_edges: int = 128) -> int:
     """Fixed block count covering any batch of this bucket."""
     worst = -(-bucket.num_edges // block_edges) + bucket.num_nodes // tile_nodes
-    return _round_up(worst, 8)
+    return round_up(worst, 8)

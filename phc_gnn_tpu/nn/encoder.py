@@ -53,7 +53,12 @@ class IntegerEncoder(nn.Module):
             for v in self.input_dims:
                 offs.append(total)
                 total += v
-            idx = x + jnp.asarray(offs, x.dtype)[None, :]          # [B, F]
+            # clip per feature first — jnp.take clamps out-of-range indices,
+            # and the offset trick must not let a bad index match a
+            # neighbouring table's rows (or nothing at all)
+            hi = jnp.asarray([v - 1 for v in self.input_dims], x.dtype)
+            idx = jnp.clip(x, 0, hi[None, :]) \
+                + jnp.asarray(offs, x.dtype)[None, :]              # [B, F]
             vocab_iota = jnp.arange(total, dtype=idx.dtype)
             onehot = jnp.sum(
                 (idx[:, :, None] == vocab_iota[None, None, :])

@@ -30,6 +30,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from phc_gnn_tpu.utils import round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -109,9 +111,6 @@ def _kernel(block_tile_ref, block_first_ref, recv_ref, msgs_ref, out_ref):
         out_ref[...] = out_ref[...] + contrib
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
 
 @functools.partial(jax.jit,
                    static_argnames=("num_nodes", "tile_nodes", "block_edges",
@@ -121,7 +120,7 @@ def _segment_sum_call(msgs, edge_perm, recv_local, block_tile, block_first,
                       num_tiles: int, interpret: bool = False):
     eb = edge_perm.shape[0]
     d = msgs.shape[1]
-    d_pad = _round_up(d, 128)
+    d_pad = round_up(d, 128)
     # permute messages into block order; pad slots (-1) become zero rows
     if msgs.shape[0] == 0:
         gathered = jnp.zeros((eb, d), msgs.dtype)

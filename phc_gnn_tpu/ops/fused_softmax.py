@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from phc_gnn_tpu.ops.fused_segment import SegmentPlan, _round_up
+from phc_gnn_tpu.ops.fused_segment import SegmentPlan
+from phc_gnn_tpu.utils import round_up
 
 __all__ = ["fused_softmax_aggregate",
            "fused_softmax_aggregate_planned", "pad_plan_to"]
@@ -103,7 +104,7 @@ def _fused_call(msgs, beta, segmax, edge_perm, recv_valid, block_tile,
                 num_tiles: int, interpret: bool = False):
     eb = edge_perm.shape[0]
     d = msgs.shape[1]
-    d_pad = _round_up(d, 128)
+    d_pad = round_up(d, 128)
     if msgs.shape[0] == 0:
         gathered = jnp.zeros((eb, d_pad), jnp.float32)
     else:
@@ -250,7 +251,7 @@ def _fused_planned_fwd_impl(num_nodes, tile_nodes, block_edges, num_tiles,
     segmax = _masked_segmax(msgs, beta, receivers, edge_mask, num_nodes)
     masked = _mask_msgs(msgs, edge_mask)
     d = msgs.shape[1]
-    d_pad = _round_up(d, 128)
+    d_pad = round_up(d, 128)
     blocked = masked if d_pad == d else jnp.pad(masked,
                                                 ((0, 0), (0, d_pad - d)))
     segmax_pad = jnp.zeros((num_tiles * tile_nodes, d_pad), jnp.float32)

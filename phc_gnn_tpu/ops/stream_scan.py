@@ -39,6 +39,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from phc_gnn_tpu.utils import round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -54,9 +56,6 @@ __all__ = [
 DEFAULT_SCAN_BLOCK = 512  # BE: edge rows per grid step
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
 
 def build_scan_plan(receivers: np.ndarray, num_nodes: int,
                     block_edges: int = DEFAULT_SCAN_BLOCK):
@@ -69,7 +68,7 @@ def build_scan_plan(receivers: np.ndarray, num_nodes: int,
     """
     receivers = np.asarray(receivers, np.int64)
     e = receivers.shape[0]
-    eb = _round_up(max(e, 1), block_edges)
+    eb = round_up(max(e, 1), block_edges)
     flags = np.ones(eb, np.float32)
     if e > 0:
         flags[1:e] = (receivers[1:] != receivers[:-1]).astype(np.float32)
@@ -91,8 +90,6 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK):
     return a copy carrying it (scan_flags / scan_cont / last_edge — see
     graph/batch.py).  Requires receiver-sorted edges (batch_graphs and the
     native packer both guarantee it; asserted here)."""
-    import jax.numpy as jnp
-
     recv = np.asarray(batch.receivers)
     assert recv.ndim == 1 and np.all(recv[1:] >= recv[:-1]), \
         "scan plan needs receiver-sorted edges"
@@ -207,9 +204,14 @@ def _softmax_scan_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, smax_ref,
                          mask_ref, out_ref, out2_ref, carry, carry2):
     """Fused softmax-numerator/denominator scan: computes
     w = exp(beta*m - segmax_e) * mask in VMEM and jointly scans [w*m, w] —
-    the w and w*m streams never round-trip through HBM."""
+    the w and w*m streams never round-trip through HBM.
+
+    Masking happens on the LOGITS (masked -> -1e30) like the XLA composite
+    (graph/aggregators.py): masking after exp would turn a masked edge whose
+    logit exceeds its segment max by ~88 nats into exp->inf, inf*0 = NaN."""
     m = msgs_ref[...]
-    w = jnp.exp(beta_ref[0] * m - smax_ref[...]) * mask_ref[...]
+    logit = jnp.where(mask_ref[...] > 0, beta_ref[0] * m, _NEG)
+    w = jnp.exp(logit - smax_ref[...])
     _scan_core(cont_ref, flags_ref, w * m, w, out_ref, out2_ref, carry,
                carry2, "add")
 
@@ -430,7 +432,7 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                        cont, last_edge, receivers, edge_mask_f):
     eb = flags.shape[0]
     e = msgs.shape[0]
-    block = flags.shape[0] // cont.shape[0]
+    block = block_edges  # always the plan's block (see the public wrappers)
     logits = beta * msgs
     # max pass rides the same streaming scan (max combine) instead of XLA's
     # scatter-max lowering of segment_max
@@ -482,7 +484,9 @@ def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
     pe = jnp.take(packed, receivers, axis=0)
     smax_e, den_e, g_e, s_e = (pe[:, :d], pe[:, d:2 * d], pe[:, 2 * d:3 * d],
                                pe[:, 3 * d:])
-    w = jnp.exp(beta * msgs - smax_e) * edge_mask_f[:, None]
+    # mask on the logits before exp (same overflow guard as the forward)
+    w = jnp.exp(jnp.where(edge_mask_f[:, None] > 0, beta * msgs, _NEG)
+                - smax_e)
     wt = w / den_e
     mg = msgs * g_e
     dm = wt * (g_e + beta * (mg - s_e))

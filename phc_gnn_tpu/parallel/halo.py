@@ -33,6 +33,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from phc_gnn_tpu.utils import round_up
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -49,9 +51,6 @@ __all__ = [
     "make_dp_np_batch_specs",
 ]
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def partition_nodes(batch: GraphsTuple, num_shards: int,
@@ -76,7 +75,7 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     streamed aggregation kernel runs unchanged inside each shard."""
     S = num_shards
     N = batch.num_nodes
-    NS = _round_up((N + S - 1) // S, 8)
+    NS = round_up((N + S - 1) // S, 8)
     nodes = np.asarray(batch.nodes)
     recv = np.asarray(batch.receivers).astype(np.int64)
     send = np.asarray(batch.senders).astype(np.int64)
@@ -91,7 +90,7 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
 
     # per-shard edge slices (contiguous because edges are receiver-sorted)
     counts = np.bincount(owner_e, minlength=S)
-    ES = _round_up(max(int(counts.max()), 1), edge_align)
+    ES = round_up(max(int(counts.max()), 1), edge_align)
     if edge_slots is not None:
         assert ES <= edge_slots, (
             f"edge shard needs {ES} slots > fixed edge_slots={edge_slots}")
@@ -113,7 +112,7 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
             uniq = np.unique(es_send[es_owner == t])
             send_lists[t][s] = uniq
             max_cut = max(max_cut, len(uniq))
-    H = _round_up(max(max_cut, 1), halo_align)
+    H = round_up(max(max_cut, 1), halo_align)
     if halo_slots is not None:
         assert H <= halo_slots, (
             f"halo needs {H} slots > fixed halo_slots={halo_slots}")
@@ -313,7 +312,13 @@ def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         w = loss_weight(batch, loss_name)
         grads = weighted_mean(grads, w, "dp")
         loss = weighted_mean(loss, w, "dp")
-        w_bn = jnp.sum(batch.node_mask).astype(jnp.float32)
+        # BN stats: new_stats are already identical across ep (the norm psums
+        # its batch statistics over the node shards), but the dp weight must
+        # be the GLOBAL node count of this dp-batch — node_mask is sharded
+        # over ep, so an un-psum'd sum would weight each ep device by its
+        # local shard and silently decohere batch_stats across ep
+        w_bn = jax.lax.psum(jnp.sum(batch.node_mask).astype(jnp.float32),
+                            "ep")
         new_stats = weighted_mean(new_stats, w_bn, "dp")
         new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
         new_state = state.replace(params=new_params, batch_stats=new_stats,

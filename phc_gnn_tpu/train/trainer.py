@@ -134,6 +134,11 @@ class Trainer:
         self.tx = make_optimizer(cfg.lr, cfg.grad_clipping)
         self.dp = int(getattr(cfg, "dp", 1) or 1)
         self.ep = int(getattr(cfg, "ep", 1) or 1)
+        # honour the deprecated num_devices alias (maps onto dp)
+        nd = int(getattr(cfg, "num_devices", 1) or 1)
+        if nd > 1 and self.dp == 1:
+            log.warning("num_devices=%d is deprecated; using it as dp", nd)
+            self.dp = nd
         self.mesh = None
         self.dp_eval_step = None
         self._np_slots = (None, None)  # halo partition rungs (edge, halo)
@@ -220,11 +225,17 @@ class Trainer:
         partial group is padded with fully-masked dummy batches (zero loss
         weight — exact, no data dropped).  Yields (real_batches, group)."""
         from phc_gnn_tpu.parallel import make_dummy_batch
+        def shapes(b):
+            return (jax.tree_util.tree_structure(b),
+                    tuple(l.shape for l in jax.tree_util.tree_leaves(b)))
+
         group: List[GraphsTuple] = []
         for batch in batches:
-            if group and jax.tree_util.tree_structure(batch) != \
-                    jax.tree_util.tree_structure(group[0]):
-                raise ValueError("dp grouping needs uniform batch structure; "
+            # structure AND leaf shapes: a bucket-ladder loader emits
+            # same-structure batches with different padded sizes, which would
+            # otherwise fail deep inside stack_batches' jnp.stack
+            if group and shapes(batch) != shapes(group[0]):
+                raise ValueError("dp grouping needs uniform batch shapes; "
                                  "use a single bucket shape (sub_buckets=1)")
             group.append(batch)
             if len(group) == self.dp:

@@ -190,16 +190,22 @@ def test_dp_np_combined_step_matches_single_device():
     model_1 = PHCGNN(phm_dim=4, **MODEL_KW)
     state = create_train_state(model_1, tx, batches[0], jax.random.key(0))
 
-    # oracle: average the two single-device grads -> param delta average
+    # oracle: average the two single-device grads -> param delta average;
+    # BN stats combine with node-count weights
     step_1 = make_train_step(model_1, tx, loss_fn, donate=False)
-    deltas, losses = [], []
+    deltas, losses, stats, n_nodes = [], [], [], []
     for b in batches:
         new_b, loss_b, _ = step_1(state, b, jnp.float32(1e-3))
         deltas.append(jax.tree_util.tree_map(lambda a, o: a - o, new_b.params,
                                              state.params))
         losses.append(float(loss_b))
+        stats.append(new_b.batch_stats)
+        n_nodes.append(float(np.asarray(b.node_mask).sum()))
     mean_params = jax.tree_util.tree_map(
         lambda o, d0, d1: o + (d0 + d1) / 2, state.params, *deltas)
+    w0, w1 = n_nodes[0] / sum(n_nodes), n_nodes[1] / sum(n_nodes)
+    mean_stats = jax.tree_util.tree_map(lambda a, b_: w0 * a + w1 * b_,
+                                        *stats)
 
     parts = [partition_nodes(b, S) for b in batches]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *parts)
@@ -216,3 +222,11 @@ def test_dp_np_combined_step_matches_single_device():
                     jax.tree_util.tree_leaves(new_np.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-4,
                                    atol=1e-5)
+    # BN running stats must be the node-count-weighted combination AND
+    # identical on every device (the global-psum'd w_bn guarantees both;
+    # an ep-local weight would silently decohere them across ep shards)
+    np_stats = jax.device_get(new_np.batch_stats)
+    for x, y in zip(jax.tree_util.tree_leaves(mean_stats),
+                    jax.tree_util.tree_leaves(np_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-6)

@@ -147,3 +147,31 @@ def test_segment_max_streamed_single_segment_spanning_blocks():
     np.testing.assert_allclose(np.asarray(got)[0], msgs.max(axis=0),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got)[1:], 0.0)
+
+
+def test_softmax_streamed_masked_large_logit_no_nan():
+    """A MASKED edge whose logit exceeds the segment's unmasked max by >88
+    nats must not poison the output: masking must happen on the logits
+    before exp (post-exp masking gives exp->inf, inf*0 = NaN)."""
+    E, N, D, block = 128, 4, 8, 128
+    recv = np.zeros(E, np.int32)
+    msgs = np.full((E, D), 0.5, np.float32)
+    msgs[3] = 200.0  # masked edge, would overflow exp if unmasked
+    mask = np.ones(E, bool)
+    mask[3] = False
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    m_j, k_j = jnp.asarray(msgs), jnp.asarray(mask)
+    args = (jnp.asarray(flags), jnp.asarray(cont), jnp.asarray(last))
+
+    out = softmax_aggregate_streamed(m_j, jnp.asarray(recv), *args, N, 1.0,
+                                     edge_mask=k_j, block_edges=block)
+    want = softmax_aggregate(m_j, jnp.asarray(recv), N, 1.0, k_j)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+
+    # backward too
+    g = jax.grad(lambda m: jnp.sum(softmax_aggregate_streamed(
+        m, jnp.asarray(recv), *args, N, 1.0, edge_mask=k_j,
+        block_edges=block)))(m_j)
+    assert np.isfinite(np.asarray(g)).all()
