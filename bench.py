@@ -76,6 +76,31 @@ def main():
     steps_per_s = 1.0 / per_step
     edges_per_s = real_edges * steps_per_s
 
+    # serving path: forward-only (eval-mode) throughput
+    from phc_gnn_tpu.train import make_eval_step
+    ev = make_eval_step(model)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def eval_steps(batch, k):
+        def body(acc, _):
+            # thread a runtime-zero into the inputs: a loop-invariant eval
+            # would be CSE'd to a single call and the slope would read ~0
+            z = jnp.int32(jnp.isnan(acc))
+            b = batch.replace(nodes=batch.nodes + z)
+            return acc + jnp.sum(ev(state, b)), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return total
+
+    def timed_ev(k):
+        float(eval_steps(batch, k))
+        t0 = time.perf_counter()
+        float(eval_steps(batch, k))
+        return time.perf_counter() - t0
+
+    te1, te2 = timed_ev(k1), timed_ev(k2)
+    per_eval = (te2 - te1) / (k2 - k1)
+    eval_edges_per_s = real_edges / per_eval
+
     # crude roofline lower bound: GEMM FLOPs (fwd + ~2x bwd) at the measured
     # ~158 TFLOP/s large-matmul rate, plus edge+node activation traffic at
     # ~800 GB/s HBM.  d is the FLAT feature width (mp_units are flat n*d/n
@@ -99,6 +124,8 @@ def main():
         "detail": {
             "steps_per_s": round(steps_per_s, 2),
             "step_ms": round(per_step * 1e3, 3),
+            "eval_ms": round(per_eval * 1e3, 3),
+            "eval_edges_per_s": round(eval_edges_per_s, 1),
             "real_edges_per_batch": real_edges,
             "padded_nodes": batch.num_nodes,
             "padded_edges": batch.num_edges,

@@ -83,15 +83,16 @@ def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
 
 def _fixed_aggr(msgs, receivers, num_nodes, edge_mask, edge_axis, aggr,
                 scan_plan=None):
-    """Fixed-reduce aggregation; 'sum' rides the streaming scan kernel
-    (measured 2.56x over XLA's sorted-scatter, KERNELS.md) when a scan plan is
-    present on a single chip."""
-    if aggr == "sum" and scan_plan is not None and edge_axis is None:
-        from phc_gnn_tpu.ops.stream_scan import segment_sum_streamed
+    """Fixed-reduce aggregation; the whole sum/mean/min/max/var/std family
+    rides the streaming scan kernels (KERNELS.md) when a scan plan is present
+    on a single shard — no scatter in forward or backward."""
+    if scan_plan is not None and edge_axis is None:
+        from phc_gnn_tpu.ops.stream_scan import STREAMED_AGGREGATORS
 
-        flags, cont, last_edge = scan_plan
-        return segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
-                                    num_nodes, edge_mask)
+        if aggr in STREAMED_AGGREGATORS:
+            flags, cont, last_edge = scan_plan
+            return STREAMED_AGGREGATORS[aggr](
+                msgs, receivers, flags, cont, last_edge, num_nodes, edge_mask)
     return AGGREGATORS[aggr](msgs, receivers, num_nodes, edge_mask,
                              axis_name=edge_axis)
 
@@ -298,11 +299,11 @@ class PHMPNAConvSimple(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
                  phm_rule=None, training: bool = False, node_mask=None,
-                 x_remote=None):
+                 x_remote=None, scan_plan=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
-        outs = [AGGREGATORS[a](msgs, receivers, num_nodes, edge_mask,
-                               axis_name=self.edge_axis)
+        outs = [_fixed_aggr(msgs, receivers, num_nodes, edge_mask,
+                            self.edge_axis, a, scan_plan)
                 for a in self.aggregators]
         out = phm_cat(outs, self.phm_dim)
         deg = node_degrees(receivers, num_nodes, edge_mask,
@@ -414,7 +415,7 @@ class PHMMessagePassing(nn.Module):
         if aggr == "pna":
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                         training=training, node_mask=node_mask,
-                        x_remote=x_remote)
+                        x_remote=x_remote, scan_plan=scan_plan)
         if self.mlp:
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
                         training=training, node_mask=node_mask,

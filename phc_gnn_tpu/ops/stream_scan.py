@@ -47,9 +47,15 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "attach_scan_plan",
     "build_scan_plan",
+    "segment_max_agg_streamed",
     "segment_max_streamed",
+    "segment_mean_streamed",
+    "segment_min_agg_streamed",
+    "segment_std_streamed",
     "segment_sum_streamed",
+    "segment_var_streamed",
     "softmax_aggregate_streamed",
+    "STREAMED_AGGREGATORS",
     "DEFAULT_SCAN_BLOCK",
 ]
 
@@ -515,3 +521,200 @@ def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
                                  msgs.astype(jnp.float32),
                                  jnp.asarray(beta, jnp.float32), flags, cont,
                                  last_edge, receivers, mask_f)
+
+
+# ------------------------------------------------ fixed-aggregator family
+# Streamed counterparts of graph/segment.py's mean/min/max/var/std (the PNA
+# aggregator set, reference phc/hypercomplex/aggregator.py:70-103), each with
+# an analytic VJP of node->edge gathers only — no scatter in fwd or bwd.
+
+def _prep(msgs, edge_mask):
+    e = msgs.shape[0]
+    mask_f = (jnp.ones((e,), jnp.float32) if edge_mask is None
+              else edge_mask.astype(jnp.float32))
+    return msgs.astype(jnp.float32), mask_f
+
+
+def _counts(receivers, mask_f, num_nodes):
+    # [E] -> [N] single-lane segment sum; 1/200th of the feature traffic
+    return jax.ops.segment_sum(mask_f, receivers, num_segments=num_nodes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _seg_mean_streamed(num_nodes, block_edges, interpret,
+                       msgs, flags, cont, last_edge, receivers, mask_f):
+    out, _ = _seg_mean_parts(num_nodes, block_edges, interpret, msgs, flags,
+                             cont, last_edge, receivers, mask_f)
+    return out
+
+
+def _seg_mean_parts(num_nodes, block_edges, interpret, msgs, flags, cont,
+                    last_edge, receivers, mask_f):
+    s = _seg_sum_streamed(num_nodes, block_edges, interpret,
+                          msgs * mask_f[:, None], flags, cont, last_edge,
+                          receivers)
+    cnt = jnp.maximum(_counts(receivers, mask_f, num_nodes), 1.0)
+    return s / cnt[:, None], cnt
+
+
+def _seg_mean_fwd(num_nodes, block_edges, interpret, msgs, flags, cont,
+                  last_edge, receivers, mask_f):
+    out, cnt = _seg_mean_parts(num_nodes, block_edges, interpret, msgs, flags,
+                               cont, last_edge, receivers, mask_f)
+    return out, (cnt, receivers, mask_f, msgs.shape[0])
+
+
+def _seg_mean_bwd(num_nodes, block_edges, interpret, res, g):
+    cnt, receivers, mask_f, e = res
+    dm = jnp.take(g / cnt[:, None], receivers[:e], axis=0) * mask_f[:, None]
+    return (dm, None, None, None, None, None)
+
+
+_seg_mean_streamed.defvjp(_seg_mean_fwd, _seg_mean_bwd)
+
+
+def segment_mean_streamed(msgs, receivers, flags, cont, last_edge,
+                          num_nodes: int, edge_mask=None,
+                          block_edges: Optional[int] = None,
+                          interpret: bool = False):
+    """Masked segment mean (empty segments -> 0) via the streaming scan."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    msgs, mask_f = _prep(msgs, edge_mask)
+    return _seg_mean_streamed(num_nodes, block_edges, interpret, msgs, flags,
+                              cont, last_edge, receivers, mask_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _seg_extreme_streamed(sign, num_nodes, block_edges, interpret,
+                          msgs, flags, cont, last_edge, receivers, mask_f):
+    # max for sign=+1, min for sign=-1 (min(x) = -max(-x)); empty segments -> 0
+    vals = jnp.where(mask_f[:, None] > 0, sign * msgs, _NEG)
+    out = segment_max_streamed(vals, flags, cont, last_edge, num_nodes,
+                               block_edges=block_edges, interpret=interpret)
+    return sign * out
+
+
+def _seg_extreme_fwd(sign, num_nodes, block_edges, interpret,
+                     msgs, flags, cont, last_edge, receivers, mask_f):
+    out = _seg_extreme_streamed(sign, num_nodes, block_edges, interpret, msgs,
+                                flags, cont, last_edge, receivers, mask_f)
+    return out, (out, msgs, receivers, mask_f)
+
+
+def _seg_extreme_bwd(sign, num_nodes, block_edges, interpret, res, g):
+    # route the cotangent to every edge attaining the extreme (ties share it,
+    # matching jax.ops.segment_max's subgradient)
+    out, msgs, receivers, mask_f = res
+    out_e = jnp.take(out, receivers, axis=0)
+    g_e = jnp.take(g, receivers, axis=0)
+    dm = jnp.where((msgs == out_e) & (mask_f[:, None] > 0), g_e, 0.0)
+    return (dm, None, None, None, None, None)
+
+
+_seg_extreme_streamed.defvjp(_seg_extreme_fwd, _seg_extreme_bwd)
+
+
+def segment_max_agg_streamed(msgs, receivers, flags, cont, last_edge,
+                             num_nodes: int, edge_mask=None,
+                             block_edges: Optional[int] = None,
+                             interpret: bool = False):
+    """Differentiable masked segment max (empty -> 0) via the max scan."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    msgs, mask_f = _prep(msgs, edge_mask)
+    return _seg_extreme_streamed(1.0, num_nodes, block_edges, interpret, msgs,
+                                 flags, cont, last_edge, receivers, mask_f)
+
+
+def segment_min_agg_streamed(msgs, receivers, flags, cont, last_edge,
+                             num_nodes: int, edge_mask=None,
+                             block_edges: Optional[int] = None,
+                             interpret: bool = False):
+    """Differentiable masked segment min (empty -> 0) via the max scan."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    msgs, mask_f = _prep(msgs, edge_mask)
+    return _seg_extreme_streamed(-1.0, num_nodes, block_edges, interpret,
+                                 msgs, flags, cont, last_edge, receivers,
+                                 mask_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _seg_var_streamed(num_nodes, block_edges, interpret,
+                      msgs, flags, cont, last_edge, receivers, mask_f):
+    out, _, _ = _seg_var_parts(num_nodes, block_edges, interpret, msgs, flags,
+                               cont, last_edge, receivers, mask_f)
+    return out
+
+
+def _seg_var_parts(num_nodes, block_edges, interpret, msgs, flags, cont,
+                   last_edge, receivers, mask_f):
+    m = msgs * mask_f[:, None]
+    eb = flags.shape[0]
+    s, s2 = _segmented_scan_pair(_pad_rows(m, eb), _pad_rows(m * m, eb),
+                                 flags, cont, block_edges=block_edges,
+                                 interpret=interpret)
+    last = jnp.clip(last_edge, 0, eb - 1)
+    has = (last_edge >= 0)[:, None]
+    cnt = jnp.maximum(_counts(receivers, mask_f, num_nodes), 1.0)[:, None]
+    mean = jnp.where(has, jnp.take(s, last, axis=0), 0.0) / cnt
+    mean_sq = jnp.where(has, jnp.take(s2, last, axis=0), 0.0) / cnt
+    return mean_sq - mean * mean, mean, cnt
+
+
+def _seg_var_fwd(num_nodes, block_edges, interpret, msgs, flags, cont,
+                 last_edge, receivers, mask_f):
+    out, mean, cnt = _seg_var_parts(num_nodes, block_edges, interpret, msgs,
+                                    flags, cont, last_edge, receivers, mask_f)
+    return out, (mean, cnt, receivers, mask_f, msgs)
+
+
+def _seg_var_bwd(num_nodes, block_edges, interpret, res, g):
+    # d var_n / d m_e = 2 (m_e - mean_n) / c_n for edges of segment n
+    mean, cnt, receivers, mask_f, msgs = res
+    packed = jnp.concatenate([g / cnt, mean], axis=1)
+    pe = jnp.take(packed, receivers, axis=0)
+    d = g.shape[1]
+    dm = 2.0 * (msgs - pe[:, d:]) * pe[:, :d] * mask_f[:, None]
+    return (dm, None, None, None, None, None)
+
+
+_seg_var_streamed.defvjp(_seg_var_fwd, _seg_var_bwd)
+
+
+def segment_var_streamed(msgs, receivers, flags, cont, last_edge,
+                         num_nodes: int, edge_mask=None,
+                         block_edges: Optional[int] = None,
+                         interpret: bool = False):
+    """Masked segment variance E[x^2]-E[x]^2 (reference aggregator.py:86-89)
+    via one joint pair scan of [m, m^2]."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    msgs, mask_f = _prep(msgs, edge_mask)
+    return _seg_var_streamed(num_nodes, block_edges, interpret, msgs, flags,
+                             cont, last_edge, receivers, mask_f)
+
+
+def segment_std_streamed(msgs, receivers, flags, cont, last_edge,
+                         num_nodes: int, edge_mask=None,
+                         block_edges: Optional[int] = None,
+                         interpret: bool = False, eps: float = 1e-5):
+    """sqrt(relu(var) + eps) (reference aggregator.py:92-93); the sqrt/relu
+    ride normal autodiff on top of the var custom VJP."""
+    var = segment_var_streamed(msgs, receivers, flags, cont, last_edge,
+                               num_nodes, edge_mask, block_edges, interpret)
+    return jnp.sqrt(jax.nn.relu(var) + eps)
+
+
+# registry mirroring graph/aggregators.py::AGGREGATORS for plan-carrying
+# single-shard batches (signature: msgs, receivers, flags, cont, last_edge,
+# num_nodes, edge_mask)
+STREAMED_AGGREGATORS = {
+    "sum": segment_sum_streamed,
+    "mean": segment_mean_streamed,
+    "min": segment_min_agg_streamed,
+    "max": segment_max_agg_streamed,
+    "var": segment_var_streamed,
+    "std": segment_std_streamed,
+}

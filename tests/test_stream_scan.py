@@ -175,3 +175,62 @@ def test_softmax_streamed_masked_large_logit_no_nan():
         m, jnp.asarray(recv), *args, N, 1.0, edge_mask=k_j,
         block_edges=block)))(m_j)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("name", ["mean", "min", "max", "var", "std"])
+def test_streamed_fixed_aggregators_match_xla(name):
+    """The streamed mean/min/max/var/std (PNA family) must match the XLA
+    AGGREGATORS — values AND gradients (min/max route the cotangent to the
+    extreme elements like jax.ops.segment_max's subgradient)."""
+    from phc_gnn_tpu.graph.aggregators import AGGREGATORS
+    from phc_gnn_tpu.ops.stream_scan import STREAMED_AGGREGATORS
+
+    E, N, D, block = 300, 64, 24, 128
+    msgs, recv, flags, cont, last, mask = _case(7, E, N, D, block=block)
+
+    def f_stream(m):
+        out = STREAMED_AGGREGATORS[name](m, recv, flags, cont, last, N, mask)
+        return jnp.sum(jnp.sin(out)), out
+
+    def f_xla(m):
+        out = AGGREGATORS[name](m, recv, N, mask)
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, out_s), g_s = jax.value_and_grad(f_stream, has_aux=True)(msgs)
+    (_, out_x), g_x = jax.value_and_grad(f_xla, has_aux=True)(msgs)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    # std grads sit on the relu(var) kink for var==0 segments (single-edge
+    # segments compute var = E[x^2]-E[x]^2 ~ +-1e-6 and the two formulations
+    # can land on opposite sides, flipping the subgradient, then /sqrt(eps)
+    # amplifies it) — both are valid subgradients; allow a looser atol there
+    g_atol = 5e-3 if name == "std" else 2e-5
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_x),
+                               rtol=2e-4, atol=g_atol)
+
+
+def test_pna_conv_scan_plan_matches_xla_path():
+    """PHMPNAConvSimple with a scan plan equals the XLA aggregation path."""
+    from phc_gnn_tpu.graph.conv import PHMPNAConvSimple
+
+    E, N, D, n = 256, 64, 16, 4
+    rng = np.random.default_rng(9)
+    recv = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    send = rng.integers(0, N, E).astype(np.int32)
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    e_attr = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    mask = jnp.asarray(rng.random(E) > 0.15)
+    flags, cont, last = build_scan_plan(recv, N, 128)
+    plan = (jnp.asarray(flags), jnp.asarray(cont), jnp.asarray(last))
+    avg_deg = {"log": 1.3, "lin": 3.5}
+
+    conv = PHMPNAConvSimple(in_features=D, out_features=D, phm_dim=n,
+                            avg_deg=avg_deg)
+    v = conv.init(jax.random.key(0), x, jnp.asarray(send), jnp.asarray(recv),
+                  e_attr, mask)
+    out_x = conv.apply(v, x, jnp.asarray(send), jnp.asarray(recv), e_attr,
+                       mask)
+    out_s = conv.apply(v, x, jnp.asarray(send), jnp.asarray(recv), e_attr,
+                       mask, scan_plan=plan)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
