@@ -270,9 +270,22 @@ class Trainer:
 
     def _parallel_train_epoch(self, state: TrainState, batches_iter,
                               lr_dev, consume):
+        """Multi-chip epoch.  Host-side partitioning + dp stacking run INSIDE
+        the prefetch pipeline (a background thread): partition_nodes costs
+        1.5-2.2 ms/batch at flagship shapes — the same order as the train
+        step — so doing it on the critical path would halve throughput."""
         from phc_gnn_tpu.parallel import stack_batches
+        depth = getattr(self.cfg, "prefetch_depth", 0)
+
+        def _maybe_prefetch(it):
+            if not depth:
+                return it
+            from phc_gnn_tpu.data.prefetch import prefetch
+            return prefetch(it, depth=depth)
+
         if self.dp > 1:
-            for real, group in self._dp_groups(batches_iter):
+            def prep(pair):
+                real, group = pair
                 if self.ep > 1:
                     raw = group
                     before = self._np_slots
@@ -281,13 +294,16 @@ class Trainer:
                         # rungs grew mid-group: repack the RAW batches so the
                         # whole group shares the final static shapes
                         group = [self._partition(b) for b in raw]
-                stacked = stack_batches(group)
+                return real, stack_batches(group)
+
+            for real, stacked in _maybe_prefetch(
+                    map(prep, self._dp_groups(batches_iter))):
                 state, loss, outs = self.train_step(state, stacked, lr_dev)
                 for i, b in enumerate(real):
                     consume(b, loss, outs[i])
         else:  # ep only: one full batch, nodes or edges sharded
-            for batch in batches_iter:
-                pb = self._partition(batch)
+            for batch, pb in _maybe_prefetch(
+                    map(lambda b: (b, self._partition(b)), batches_iter)):
                 state, loss, out = self.train_step(state, pb, lr_dev)
                 consume(batch, loss, out)
         return state
@@ -424,7 +440,9 @@ class Trainer:
 
             batches_iter = self.train_batches(seed * 10007 + epoch)
             depth = getattr(cfg, "prefetch_depth", 0)
-            if depth:
+            if depth and self.mesh is None:
+                # multi-chip epochs prefetch AFTER partitioning/stacking
+                # (_parallel_train_epoch) — don't double-wrap here
                 from phc_gnn_tpu.data.prefetch import prefetch
                 batches_iter = prefetch(batches_iter, depth=depth)
 

@@ -187,3 +187,21 @@ def test_inference_cli_restores_best(tmp_path, zinc_root):
     assert result["dataset"] == "zinc"
     np.testing.assert_allclose(result["mae"],
                                summary["test_bestval"]["mean"], rtol=1e-4)
+
+
+def test_scan_chunk_with_stream_kernel(tmp_path):
+    """scan_chunk (multi-step jit scanning) composes with --agg_kernel stream
+    (scan-plan-carrying batches): the plan arrays stack/scan like any other
+    batch field and training converges."""
+    from benchmarks.common import run_benchmark
+    save = str(tmp_path / "sc_stream")
+    summary = run_benchmark("synthetic", [
+        "--input_embed_dim", "16", "--mp_units", "16,16", "--d_units", "16,8",
+        "--batch_size", "8", "--n_runs", "1", "--seed", "0",
+        "--dropout_mpnn", "0.0,0.0", "--dropout_dn", "0.0,0.0",
+        "--scan_chunk", "4", "--aggr_msg", "softmax",
+        "--agg_kernel", "stream", "--epochs", "2", "--save_dir", save])
+    assert np.isfinite(summary["best_val"]["mean"])
+    rows = [json.loads(l)
+            for l in open(os.path.join(save, "run_1", "scalars.jsonl"))]
+    assert len(rows) == 2 and rows[-1]["train_loss"] < rows[0]["train_loss"]
