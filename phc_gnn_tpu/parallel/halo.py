@@ -129,15 +129,12 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     out_recv = np.full((S, ES), NS - 1, np.int32)
     halo_send = np.zeros((S, S, H), np.int32)
 
-    # position maps for aug indexing: pos[(t, s)][global node] -> slot
-    pos_maps = {}
     for t in range(S):
         for s in range(S):
             if t == s or send_lists[t][s] is None or len(send_lists[t][s]) == 0:
                 continue
             uniq = send_lists[t][s]
             halo_send[t, s, :len(uniq)] = uniq - t * NS
-            pos_maps[(t, s)] = {int(g): i for i, g in enumerate(uniq)}
 
     for s in range(S):
         lo_n = s * NS
@@ -165,9 +162,10 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
             sel = (es_owner == t) & edge_mask[lo:hi]
             if not sel.any():
                 continue
-            pm = pos_maps[(t, s)]
-            aug[sel] = np.asarray(
-                [NS + t * H + pm[int(g)] for g in es_send[sel]], np.int32)
+            # slot of each remote sender within t's (sorted-unique) send list
+            uniq = send_lists[t][s]
+            aug[sel] = (NS + t * H
+                        + np.searchsorted(uniq, es_send[sel])).astype(np.int32)
         # masked edges keep sender 0 (never read through the mask)
         aug[~edge_mask[lo:hi]] = 0
         out_send[s, :ne] = aug
