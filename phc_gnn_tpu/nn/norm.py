@@ -58,34 +58,54 @@ class _BatchNorm(nn.Module):
                 return jax.lax.psum(v, self.stat_axis)
             return v
 
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, feat_shape)
+            bias = self.param("bias", nn.initializers.zeros, feat_shape)
+        else:
+            scale = jnp.ones(feat_shape, jnp.float32)
+            bias = jnp.zeros(feat_shape, jnp.float32)
+
         if training:
-            # Two-pass batch statistics: mean first, then E[(x-mean)^2].
-            # The one-pass shifted form E[(x-c)^2]-E[x-c]^2 catastrophically
-            # cancels in f32 when |mean-c| >> std (e.g. cold start where the
-            # running mean c=0 and a feature column sits at ~1e6 with std 0.1,
-            # yielding var==0 and rsqrt(eps)-scaled garbage).  BN is a tiny
-            # fraction of the step; correctness wins over the extra pass.
-            if mask is not None:
-                m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
-                    jnp.float32)
-                cnt = jnp.maximum(_psum(jnp.sum(m)), 1.0)
-                mean = _psum(jnp.sum(x * m, axis=0)) / cnt
-                xc = (x - mean) * m
+            from phc_gnn_tpu.ops.fused_bn import (FUSED_BN_VMEM_LIMIT,
+                                                  fused_masked_bn)
+            fused = (self.stat_axis is None and not self.is_initializing()
+                     and jax.default_backend() == "tpu"
+                     and x.size * 4 <= FUSED_BN_VMEM_LIMIT)
+            if fused:
+                # single-block Pallas kernel: stats + normalize in one HBM
+                # read + write, analytic VJP (ops/fused_bn.py)
+                flat = x.reshape(x.shape[0], -1)
+                y, mean, var = fused_masked_bn(
+                    flat, mask, scale.reshape(-1), bias.reshape(-1), self.eps)
+                y = y.reshape(x.shape)
+                mean = mean.reshape(feat_shape)
+                var = var.reshape(feat_shape)
             else:
-                cnt = _psum(jnp.float32(x.shape[0]))
-                mean = _psum(jnp.sum(x, axis=0)) / cnt
-                xc = x - mean
-            var = _psum(jnp.sum(xc * xc, axis=0)) / cnt
+                # Two-pass batch statistics: mean first, then E[(x-mean)^2].
+                # The one-pass shifted form E[(x-c)^2]-E[x-c]^2
+                # catastrophically cancels in f32 when |mean-c| >> std (e.g.
+                # cold start where the running mean c=0 and a feature column
+                # sits at ~1e6 with std 0.1, yielding var==0 and
+                # rsqrt(eps)-scaled garbage).  Correctness over the extra pass.
+                if mask is not None:
+                    m = mask.reshape((-1,) + (1,) * len(feat_shape)).astype(
+                        jnp.float32)
+                    cnt = jnp.maximum(_psum(jnp.sum(m)), 1.0)
+                    mean = _psum(jnp.sum(x * m, axis=0)) / cnt
+                    xc = (x - mean) * m
+                else:
+                    cnt = _psum(jnp.float32(x.shape[0]))
+                    mean = _psum(jnp.sum(x, axis=0)) / cnt
+                    xc = x - mean
+                var = _psum(jnp.sum(xc * xc, axis=0)) / cnt
+                y = ((x - mean) * jax.lax.rsqrt(var + self.eps)
+                     * scale + bias)
             if not self.is_initializing():
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
                 ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        if self.affine:
-            scale = self.param("scale", nn.initializers.ones, feat_shape)
-            bias = self.param("bias", nn.initializers.zeros, feat_shape)
-            y = y * scale + bias
+            y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y.astype(in_dtype)
 
 
