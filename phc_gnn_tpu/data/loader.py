@@ -77,7 +77,7 @@ class PaddedLoader:
                  drop_last: bool = False, sub_buckets: int = 1,
                  align: int = 128, plan_layout: bool = False,
                  tile_nodes: int = 128, block_edges: int = 128,
-                 scan_plan: bool = False, scan_block: int = 512):
+                 scan_plan: bool = False, scan_block: int = 256):
         self.graphs = graphs
         self.bucket = bucket
         self.shuffle = shuffle

@@ -59,7 +59,10 @@ __all__ = [
     "DEFAULT_SCAN_BLOCK",
 ]
 
-DEFAULT_SCAN_BLOCK = 512  # BE: edge rows per grid step
+DEFAULT_SCAN_BLOCK = 256  # BE: edge rows per grid step.  Swept on-chip
+# (KERNELS.md): 256 is the clear optimum — segment-sum hits the HBM
+# bandwidth floor (15 us at 8192x200, 4x faster than 512); 128 and 1024
+# are both slower (non-monotonic: pipelining vs log2(BE) roll passes).
 
 
 
