@@ -225,6 +225,42 @@ def _softmax_scan_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, smax_ref,
                carry2, "add")
 
 
+def _softmax_max_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, mask_ref,
+                        out_ref, carry):
+    """Max pass with the logit prep fused in: where(mask, beta*m, -1e30)
+    computed in VMEM — the masked-logit stream never materializes in HBM."""
+    v = jnp.where(mask_ref[...] > 0, beta_ref[0] * msgs_ref[...], _NEG)
+    _scan_core(cont_ref, flags_ref, v, None, out_ref, None, carry, None,
+               "max")
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _segmented_scan_softmax_max(msgs, mask, beta, flags, cont,
+                                block_edges: int = DEFAULT_SCAN_BLOCK,
+                                interpret: bool = False):
+    """Segmented max-scan of where(mask, beta*msgs, -1e30) along axis 0."""
+    eb, d = msgs.shape
+    assert eb % block_edges == 0
+    nb = eb // block_edges
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cont, beta
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _softmax_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.float32),
+        interpret=interpret,
+    )(cont, beta.reshape(1), flags, msgs, mask)
+
+
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
 def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
                     interpret: bool = False):
@@ -442,14 +478,18 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
     eb = flags.shape[0]
     e = msgs.shape[0]
     block = block_edges  # always the plan's block (see the public wrappers)
-    logits = beta * msgs
-    # max pass rides the same streaming scan (max combine) instead of XLA's
-    # scatter-max lowering of segment_max
-    seg_max = segment_max_streamed(
-        jnp.where(edge_mask_f[:, None] > 0, jax.lax.stop_gradient(logits),
-                  _NEG),
-        flags, cont, last_edge, num_nodes, block_edges=block,
+    # max pass rides the streaming max-scan with the logit prep (mask,
+    # beta-scale) fused into the kernel — the masked-logit stream never
+    # materializes (vs XLA's scatter-max lowering of segment_max)
+    mask_col = _pad_rows(edge_mask_f[:, None], eb)
+    scan_max = _segmented_scan_softmax_max(
+        _pad_rows(jax.lax.stop_gradient(msgs), eb), mask_col,
+        jnp.asarray(beta, jnp.float32), flags, cont, block_edges=block,
         interpret=interpret)
+    last = jnp.clip(last_edge, 0, eb - 1)
+    seg_max = jnp.take(scan_max, last, axis=0)
+    seg_max = jnp.where((last_edge >= 0)[:, None] & (seg_max > _NEG / 2),
+                        seg_max, 0.0)
     smax_e = jnp.take(seg_max, receivers, axis=0)
     numer, denom = _segmented_scan_softmax(
         _pad_rows(msgs, eb), _pad_rows(smax_e, eb),
