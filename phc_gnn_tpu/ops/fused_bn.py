@@ -28,8 +28,13 @@ from jax.experimental import pallas as pl
 
 __all__ = ["fused_masked_bn", "FUSED_BN_VMEM_LIMIT"]
 
-# single-block kernel: x (and in bwd also g) must fit VMEM comfortably
-FUSED_BN_VMEM_LIMIT = 6 * 1024 * 1024  # bytes of x
+# single-block kernel gate, in bytes of x.  The BACKWARD block must hold
+# x, g, dx and an xhat-sized temporary simultaneously (~4x the gate) within
+# ~16 MB of VMEM, so the gate is set just above the largest on-chip-validated
+# shape (4096 x 200 f32 = 3.2 MB); bigger inputs fall back to the two-pass
+# XLA path rather than risking a Mosaic VMEM allocation failure.  A
+# grid-blocked variant would lift this.
+FUSED_BN_VMEM_LIMIT = 3_500_000
 
 
 def _bn_fwd_kernel(x_ref, mask_ref, scale_ref, bias_ref, eps_ref,
@@ -61,8 +66,8 @@ def _bn_bwd_kernel(x_ref, mask_ref, scale_ref, mean_ref, var_ref, eps_ref,
     sum_gx = jnp.sum(g * xhat, axis=0, keepdims=True)
     dx_ref[...] = scale_ref[...] * r * (
         g - m * (sum_g + xhat * sum_gx) / cnt)
-    dscale_ref[...] = jnp.sum(g * xhat, axis=0, keepdims=True)
-    dbias_ref[...] = jnp.sum(g, axis=0, keepdims=True)
+    dscale_ref[...] = sum_gx
+    dbias_ref[...] = sum_g
 
 
 def _call_fwd(x, mask_f, scale, bias, eps, interpret):

@@ -492,10 +492,9 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                         seg_max, 0.0)
     smax_e = jnp.take(seg_max, receivers, axis=0)
     numer, denom = _segmented_scan_softmax(
-        _pad_rows(msgs, eb), _pad_rows(smax_e, eb),
-        _pad_rows(edge_mask_f[:, None], eb), jnp.asarray(beta, jnp.float32),
+        _pad_rows(msgs, eb), _pad_rows(smax_e, eb), mask_col,
+        jnp.asarray(beta, jnp.float32),
         flags, cont, block_edges=block, interpret=interpret)
-    last = jnp.clip(last_edge, 0, eb - 1)
     num_end = jnp.take(numer, last, axis=0)
     den_end = jnp.take(denom, last, axis=0)
     den_end = jnp.maximum(den_end, 1e-16)
@@ -558,10 +557,8 @@ def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
     interpret = interpret or jax.default_backend() != "tpu"
     block_edges = block_edges or flags.shape[0] // cont.shape[0]
     e = msgs.shape[0]
-    mask_f = (jnp.ones((e,), jnp.float32) if edge_mask is None
-              else edge_mask.astype(jnp.float32))
-    return _softmax_agg_streamed(num_nodes, block_edges, interpret,
-                                 msgs.astype(jnp.float32),
+    msgs, mask_f = _prep(msgs, edge_mask)
+    return _softmax_agg_streamed(num_nodes, block_edges, interpret, msgs,
                                  jnp.asarray(beta, jnp.float32), flags, cont,
                                  last_edge, receivers, mask_f)
 
@@ -569,7 +566,9 @@ def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
 # ------------------------------------------------ fixed-aggregator family
 # Streamed counterparts of graph/segment.py's mean/min/max/var/std (the PNA
 # aggregator set, reference phc/hypercomplex/aggregator.py:70-103), each with
-# an analytic VJP of node->edge gathers only — no scatter in fwd or bwd.
+# an analytic VJP of node->edge gathers only over the [E, D] feature streams.
+# The ONE remaining scatter is the [E] -> [N] single-lane edge count
+# (_counts) in mean/var/std — 1/D-th of the feature traffic.
 
 def _prep(msgs, edge_mask):
     e = msgs.shape[0]
