@@ -86,6 +86,14 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     G = batch.num_graphs
 
     assert np.all(recv[1:] >= recv[:-1]), "partition_nodes needs sorted edges"
+
+    # partition REAL edges only: the batch's global padding edges all point
+    # at the last node row, so owner-by-receiver would dump every padding
+    # slot on the last shard, inflating ES for all shards (each shard gets
+    # its own padding tail below instead — balanced and much smaller)
+    recv = recv[edge_mask]
+    send = send[edge_mask]
+    edges = edges[edge_mask]
     owner_e = np.minimum(recv // NS, S - 1)
 
     # per-shard edge slices (contiguous because edges are receiver-sorted)
@@ -99,12 +107,11 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
 
     # halo send lists: for each (src_owner t, edge_owner s) pair the unique
     # t-owned sender nodes referenced by s's edges
-    owner_s = np.minimum(send // NS, S - 1)
     send_lists = [[None] * S for _ in range(S)]
     max_cut = 0
     for s in range(S):
         lo, hi = e_starts[s], e_starts[s + 1]
-        es_send = send[lo:hi][edge_mask[lo:hi]]
+        es_send = send[lo:hi]
         es_owner = np.minimum(es_send // NS, S - 1)
         for t in range(S):
             if t == s:
@@ -148,7 +155,7 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
         if ne == 0:
             continue
         out_edges[s, :ne] = edges[lo:hi]
-        out_emask[s, :ne] = edge_mask[lo:hi]
+        out_emask[s, :ne] = True  # real edges only; padding tail stays False
         out_recv[s, :ne] = (recv[lo:hi] - lo_n).astype(np.int32)
         # senders -> augmented index space
         es_send = send[lo:hi]
@@ -159,15 +166,13 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
         for t in range(S):
             if t == s:
                 continue
-            sel = (es_owner == t) & edge_mask[lo:hi]
+            sel = es_owner == t
             if not sel.any():
                 continue
             # slot of each remote sender within t's (sorted-unique) send list
             uniq = send_lists[t][s]
             aug[sel] = (NS + t * H
                         + np.searchsorted(uniq, es_send[sel])).astype(np.int32)
-        # masked edges keep sender 0 (never read through the mask)
-        aug[~edge_mask[lo:hi]] = 0
         out_send[s, :ne] = aug
         # padding receiver rows already NS-1 via init
 

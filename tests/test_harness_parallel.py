@@ -135,3 +135,59 @@ def test_ep_harness_run_with_stream_kernel(tmp_path):
     assert len(rows) == 2
     assert rows[-1]["train_loss"] < rows[0]["train_loss"]
     assert np.isfinite(summary["best_val"]["mean"])
+
+
+def test_halo_rung_growth_mid_group(tmp_path):
+    """When a later member of a dp group needs bigger halo/edge slots than the
+    partition rungs chosen for the first member, the whole group must be
+    repacked to the grown static shapes (inside the prefetch thread).  Batch A
+    has many tiny graphs (small boundary cuts); batch B has two ~60-node
+    graphs that straddle shard boundaries (large cuts) — same padded shapes."""
+    import numpy as np
+    from phc_gnn_tpu.data.synthetic import random_graph
+    from phc_gnn_tpu.graph.batch import batch_graphs
+    from phc_gnn_tpu.parallel import partition_nodes
+    from phc_gnn_tpu.train import ExperimentConfig, Trainer
+    from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS
+
+    def clique_graph(n, rng):
+        s, r = np.meshgrid(np.arange(n), np.arange(n))
+        keep = s != r
+        ei = np.stack([s[keep], r[keep]]).astype(np.int32)
+        return {"x": rng.integers(0, 28, (n, 1)).astype(np.int32),
+                "edge_index": ei,
+                "edge_attr": rng.integers(0, 4, (ei.shape[1], 1)).astype(
+                    np.int32),
+                "y": np.asarray([0.3], np.float32)}
+
+    def make(dense, seed):
+        rng = np.random.default_rng(seed)
+        if dense:  # one 30-clique: 870 directed edges land in ONE shard
+            graphs = [clique_graph(30, rng), clique_graph(4, rng)]
+        else:      # sparse small graphs: per-shard edge counts ~200
+            graphs = [random_graph(rng, mean_nodes=8) for _ in range(8)]
+        return batch_graphs(graphs, num_nodes=192, num_edges=1024,
+                            num_graphs=9, y_shape=(1,))
+
+    batches = [make(False, 0), make(True, 1),   # group 1: grows mid-group
+               make(False, 2), make(True, 3)]   # group 2: stays on the rungs
+    # precondition: the dense batch genuinely exceeds the sparse batch's
+    # 512-edge rung in some shard (otherwise this test is vacuous)
+    need_sparse = partition_nodes(batches[0], 2).senders.shape[1]
+    need_dense = partition_nodes(batches[1], 2).senders.shape[1]
+    assert need_sparse <= 512 < need_dense, (need_sparse, need_dense)
+
+    cfg = ExperimentConfig(
+        dataset="synthetic", save_dir=str(tmp_path / "exp"), epochs=2,
+        lr=1e-3, metric="mae", loss="l1", scheduler_mode="min",
+        input_embed_dim=16, mp_units=(16, 16), d_units=(16,),
+        dropout_mpnn=(0.0, 0.0), dropout_dn=(0.0,), aggr_msg="softmax",
+        mlp_mp=True, target_dim=1, batch_size=8, dp=2, ep=2,
+        agg_kernel="stream")
+
+    from benchmarks.common import build_model
+    model = build_model(cfg, ZINC_ATOM_DIMS, ZINC_BOND_DIMS)
+    trainer = Trainer(cfg, model, lambda seed: list(batches),
+                      lambda: [batches[0]])
+    res = trainer.do_run(1)
+    assert np.isfinite(res["best_val"])
