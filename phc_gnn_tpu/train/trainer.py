@@ -64,7 +64,10 @@ def build_model(cfg: ExperimentConfig, atom_input_dims, bond_input_dims,
         target_dim=cfg.target_dim, dropout_dn=tuple(cfg.dropout_dn),
         norm_dn=cfg.norm_dn, msg_encoder=cfg.msg_encoder, sc_type=cfg.sc_type,
         skip_connect=cfg.model_type, initial_beta=cfg.initial_beta,
-        learn_beta=cfg.learn_beta, avg_deg=avg_deg)
+        learn_beta=cfg.learn_beta, avg_deg=avg_deg,
+        compute_dtype=(jnp.bfloat16
+                       if str(getattr(cfg, "compute_dtype", "f32")) == "bf16"
+                       else None))
 
 
 def build_loss(cfg: ExperimentConfig) -> Callable:
