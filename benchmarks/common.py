@@ -151,6 +151,9 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
                    choices=["auto", "stream", "xla"],
                    help="segment aggregation kernel (auto: streaming Pallas "
                         "scan on TPU, XLA composite elsewhere)")
+    p.add_argument("--profile_steps", type=int, default=cfg.profile_steps,
+                   help=">0: jax.profiler trace of the first K train steps "
+                        "written to run_dir/profile")
     p.add_argument("--compute_dtype", type=str, default=cfg.compute_dtype,
                    choices=["f32", "bf16"],
                    help="activation compute dtype (params stay f32; bf16 "

@@ -99,6 +99,8 @@ class ExperimentConfig:
     scan_chunk: int = 0            # >0: scan this many same-shape train steps
                                    # inside one jit call (kills dispatch overhead)
     prefetch_depth: int = 2        # background-prefetched batches (0 = off)
+    profile_steps: int = 0         # >0: write a jax.profiler trace of the
+                                   # first K train steps to run_dir/profile
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

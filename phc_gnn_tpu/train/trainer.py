@@ -371,6 +371,29 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         log.info("run %d: %d params, seed %d", run_idx, n_params, seed)
 
+        psteps = int(getattr(cfg, "profile_steps", 0) or 0)
+        if psteps > 0:
+            # jax.profiler trace of the first K train steps (SURVEY 5.1);
+            # throwaway state copy so donation doesn't consume the real one
+            if self.mesh is not None:
+                log.warning("profile_steps: single-device only; skipping "
+                            "under dp/ep (use ep=1 dp=1 to profile)")
+            else:
+                from phc_gnn_tpu.utils.profiling import trace_context
+                logdir = os.path.join(run_dir, "profile")
+                lr0 = jnp.float32(cfg.lr)
+                st = jax.tree_util.tree_map(jnp.copy, state)
+                st, _, _ = self.train_step(st, sample, lr0)  # compile first
+                st = jax.block_until_ready(st)
+                with trace_context(logdir):
+                    for _ in range(psteps):
+                        st, loss, _ = self.train_step(st, sample, lr0)
+                    jax.block_until_ready(loss)
+                del st
+                log.info("profiler trace (%d steps) -> %s", psteps, logdir)
+                # the profiled copy consumed nothing, but donation marks the
+                # copies deleted — state itself is untouched
+
         ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
         scheduler = ReduceLROnPlateau(
             lr=cfg.lr, mode=cfg.scheduler_mode, factor=cfg.factor,

@@ -205,3 +205,18 @@ def test_scan_chunk_with_stream_kernel(tmp_path):
     rows = [json.loads(l)
             for l in open(os.path.join(save, "run_1", "scalars.jsonl"))]
     assert len(rows) == 2 and rows[-1]["train_loss"] < rows[0]["train_loss"]
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """--profile_steps K captures a jax.profiler trace of the first K train
+    steps into run_dir/profile (SURVEY 5.1 first-class profiling)."""
+    from benchmarks.common import run_benchmark
+    save = str(tmp_path / "prof")
+    run_benchmark("synthetic", [
+        "--epochs", "1", "--batch_size", "8", "--input_embed_dim", "16",
+        "--mp_units", "16,16", "--d_units", "16", "--dropout_mpnn", "0,0",
+        "--dropout_dn", "0", "--profile_steps", "2", "--scan_chunk", "0",
+        "--n_runs", "1", "--save_dir", save])
+    pdir = os.path.join(save, "run_1", "profile")
+    found = [f for _, _, fs in os.walk(pdir) for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in found), found
