@@ -262,3 +262,34 @@ def test_np_step_pna_matches_single_device():
                     jax.tree_util.tree_leaves(new_np.batch_stats)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_np_step_qbn_matches_single_device():
+    """Quaternion whitening BN (per-feature 4x4 covariance, Cholesky solve)
+    under halo parallelism: the cross-shard covariance psums must reproduce
+    the single-device whitening exactly."""
+    S = 4
+    mesh = make_mesh(dp=1, ep=S)
+    batch = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=3)
+    part = partition_nodes(batch, S)
+    kw = dict(MODEL_KW, norm_mp="q-batch-norm")
+
+    tx = optax.chain(optax.scale(-1.0))
+    model_1 = PHCGNN(phm_dim=4, **kw)
+    state = create_train_state(model_1, tx, batch, jax.random.key(0))
+    step_1 = make_train_step(model_1, tx, loss_fn, donate=False)
+    new_1, loss_1, _ = step_1(state, batch, jnp.float32(1e-3))
+
+    model_np = PHCGNN(phm_dim=4, node_axis="ep", **kw)
+    step_np = make_np_train_step(model_np, tx, loss_fn, mesh, donate=False)
+    new_np, loss_np, _ = step_np(state, part, jnp.float32(1e-3))
+
+    np.testing.assert_allclose(float(loss_1), float(loss_np), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(new_1.params),
+                    jax.tree_util.tree_leaves(new_np.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-4,
+                                   atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(new_1.batch_stats),
+                    jax.tree_util.tree_leaves(new_np.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
+                                   atol=1e-5)
