@@ -198,8 +198,11 @@ def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
 
 def _scan_kernel(cont_ref, flags_ref, vals_ref, out_ref, carry, carry2=None,
                  vals2_ref=None, out2_ref=None, op: str = "add"):
-    _scan_core(cont_ref, flags_ref, vals_ref[...],
-               vals2_ref[...] if vals2_ref is not None else None,
+    # convert at VMEM load: bf16 input streams halve HBM traffic while the
+    # scan accumulates in f32
+    _scan_core(cont_ref, flags_ref, vals_ref[...].astype(jnp.float32),
+               vals2_ref[...].astype(jnp.float32)
+               if vals2_ref is not None else None,
                out_ref, out2_ref, carry, carry2, op)
 
 
@@ -218,7 +221,7 @@ def _softmax_scan_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, smax_ref,
     Masking happens on the LOGITS (masked -> -1e30) like the XLA composite
     (graph/aggregators.py): masking after exp would turn a masked edge whose
     logit exceeds its segment max by ~88 nats into exp->inf, inf*0 = NaN."""
-    m = msgs_ref[...]
+    m = msgs_ref[...].astype(jnp.float32)
     logit = jnp.where(mask_ref[...] > 0, beta_ref[0] * m, _NEG)
     w = jnp.exp(logit - smax_ref[...])
     _scan_core(cont_ref, flags_ref, w * m, w, out_ref, out2_ref, carry,
@@ -229,7 +232,8 @@ def _softmax_max_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, mask_ref,
                         out_ref, carry):
     """Max pass with the logit prep fused in: where(mask, beta*m, -1e30)
     computed in VMEM — the masked-logit stream never materializes in HBM."""
-    v = jnp.where(mask_ref[...] > 0, beta_ref[0] * msgs_ref[...], _NEG)
+    v = jnp.where(mask_ref[...] > 0,
+                  beta_ref[0] * msgs_ref[...].astype(jnp.float32), _NEG)
     _scan_core(cont_ref, flags_ref, v, None, out_ref, None, carry, None,
                "max")
 
@@ -283,7 +287,7 @@ def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
     out = pl.pallas_call(
         _scan_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((eb, d_pad), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((eb, d_pad), jnp.float32),
         interpret=interpret,
     )(cont, flags, vals)
     return out[:, :d]
@@ -311,7 +315,7 @@ def _segmented_scan_max(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK
     out = pl.pallas_call(
         functools.partial(_scan_kernel, op="max"),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((eb, d_pad), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((eb, d_pad), jnp.float32),
         interpret=interpret,
     )(cont, flags, vals)
     return out[:, :d]
@@ -365,8 +369,8 @@ def _segmented_scan_pair(vals, vals2, flags, cont,
     out1, out2 = pl.pallas_call(
         _scan_kernel_pair,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((eb, d_pad), vals.dtype),
-                   jax.ShapeDtypeStruct((eb, d_pad), vals.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((eb, d_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, d_pad), jnp.float32)],
         interpret=interpret,
     )(cont, flags, vals, vals2)
     return out1[:, :d], out2[:, :d]
@@ -401,8 +405,8 @@ def _segmented_scan_softmax(msgs, smax_e, mask, beta, flags, cont,
     return pl.pallas_call(
         _softmax_scan_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((eb, d), msgs.dtype),
-                   jax.ShapeDtypeStruct((eb, d), msgs.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((eb, d), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, d), jnp.float32)],
         interpret=interpret,
     )(cont, beta.reshape(1), flags, msgs, smax_e, mask)
 
@@ -430,14 +434,15 @@ def _seg_sum_streamed_fwd(num_nodes, block_edges, interpret,
                           msgs, flags, cont, last_edge, receivers):
     out = _seg_sum_streamed(num_nodes, block_edges, interpret, msgs, flags,
                             cont, last_edge, receivers)
-    return out, (receivers, msgs.shape[0])
+    return out, (receivers, msgs.shape[0], jnp.zeros((0,), msgs.dtype))
 
 
 def _seg_sum_streamed_bwd(num_nodes, block_edges, interpret, res, g):
-    receivers, num_edges = res
-    # d(segment_sum)/d msgs = gather of g at each edge's receiver
+    receivers, num_edges, dtype_probe = res
+    # d(segment_sum)/d msgs = gather of g at each edge's receiver; the
+    # cotangent must match the primal dtype (bf16 streams supported)
     grad = jnp.take(g, receivers[:num_edges], axis=0)
-    return (grad, None, None, None, None)
+    return (grad.astype(dtype_probe.dtype), None, None, None, None)
 
 
 _seg_sum_streamed.defvjp(_seg_sum_streamed_fwd, _seg_sum_streamed_bwd)
@@ -454,11 +459,14 @@ def segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
     never have to thread the build-time ``scan_block`` through."""
     interpret = interpret or jax.default_backend() != "tpu"
     block_edges = block_edges or flags.shape[0] // cont.shape[0]
+    if not jnp.issubdtype(msgs.dtype, jnp.floating):
+        msgs = msgs.astype(jnp.float32)
+    # bf16 message streams pass straight into the kernel (halved HBM input
+    # traffic); the scan converts to f32 at VMEM load and emits f32
     if edge_mask is not None:
-        msgs = jnp.where(edge_mask[:, None], msgs, 0.0)
+        msgs = jnp.where(edge_mask[:, None], msgs, 0)
     return _seg_sum_streamed(num_nodes, block_edges, interpret,
-                             msgs.astype(jnp.float32), flags, cont, last_edge,
-                             receivers)
+                             msgs, flags, cont, last_edge, receivers)
 
 
 # -------------------------------------------------------- softmax aggregate
@@ -476,7 +484,7 @@ def _softmax_agg_streamed(num_nodes, block_edges, interpret,
 def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                        cont, last_edge, receivers, edge_mask_f):
     eb = flags.shape[0]
-    e = msgs.shape[0]
+    e = msgs.shape[0]  # msgs may be bf16: kernels convert at VMEM load
     block = block_edges  # always the plan's block (see the public wrappers)
     # max pass rides the streaming max-scan with the logit prep (mask,
     # beta-scale) fused into the kernel — the masked-logit stream never
@@ -537,7 +545,7 @@ def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
                 - smax_e)
     wt = w / den_e
     mg = msgs * g_e
-    dm = wt * (g_e + beta * (mg - s_e))
+    dm = (wt * (g_e + beta * (mg - s_e))).astype(msgs.dtype)
     dbeta = jnp.sum(wt * msgs * (mg - s_e))
     return (dm, dbeta, None, None, None, None, None)
 
@@ -574,7 +582,11 @@ def _prep(msgs, edge_mask):
     e = msgs.shape[0]
     mask_f = (jnp.ones((e,), jnp.float32) if edge_mask is None
               else edge_mask.astype(jnp.float32))
-    return msgs.astype(jnp.float32), mask_f
+    # float streams (incl. bf16) pass through — the kernels convert to f32 at
+    # VMEM load; only non-float inputs are cast here
+    if not jnp.issubdtype(msgs.dtype, jnp.floating):
+        msgs = msgs.astype(jnp.float32)
+    return msgs, mask_f
 
 
 def _counts(receivers, mask_f, num_nodes):
@@ -603,13 +615,14 @@ def _seg_mean_fwd(num_nodes, block_edges, interpret, msgs, flags, cont,
                   last_edge, receivers, mask_f):
     out, cnt = _seg_mean_parts(num_nodes, block_edges, interpret, msgs, flags,
                                cont, last_edge, receivers, mask_f)
-    return out, (cnt, receivers, mask_f, msgs.shape[0])
+    return out, (cnt, receivers, mask_f, msgs.shape[0],
+                 jnp.zeros((0,), msgs.dtype))
 
 
 def _seg_mean_bwd(num_nodes, block_edges, interpret, res, g):
-    cnt, receivers, mask_f, e = res
+    cnt, receivers, mask_f, e, dtype_probe = res
     dm = jnp.take(g / cnt[:, None], receivers[:e], axis=0) * mask_f[:, None]
-    return (dm, None, None, None, None, None)
+    return (dm.astype(dtype_probe.dtype), None, None, None, None, None)
 
 
 _seg_mean_streamed.defvjp(_seg_mean_fwd, _seg_mean_bwd)
@@ -631,7 +644,8 @@ def segment_mean_streamed(msgs, receivers, flags, cont, last_edge,
 def _seg_extreme_streamed(sign, num_nodes, block_edges, interpret,
                           msgs, flags, cont, last_edge, receivers, mask_f):
     # max for sign=+1, min for sign=-1 (min(x) = -max(-x)); empty segments -> 0
-    vals = jnp.where(mask_f[:, None] > 0, sign * msgs, _NEG)
+    vals = jnp.where(mask_f[:, None] > 0, sign * msgs.astype(jnp.float32),
+                     _NEG)
     out = segment_max_streamed(vals, flags, cont, last_edge, num_nodes,
                                block_edges=block_edges, interpret=interpret)
     return sign * out
@@ -650,8 +664,9 @@ def _seg_extreme_bwd(sign, num_nodes, block_edges, interpret, res, g):
     out, msgs, receivers, mask_f = res
     out_e = jnp.take(out, receivers, axis=0)
     g_e = jnp.take(g, receivers, axis=0)
-    dm = jnp.where((msgs == out_e) & (mask_f[:, None] > 0), g_e, 0.0)
-    return (dm, None, None, None, None, None)
+    dm = jnp.where((msgs.astype(jnp.float32) == out_e)
+                   & (mask_f[:, None] > 0), g_e, 0.0)
+    return (dm.astype(msgs.dtype), None, None, None, None, None)
 
 
 _seg_extreme_streamed.defvjp(_seg_extreme_fwd, _seg_extreme_bwd)
@@ -692,7 +707,9 @@ def _seg_var_streamed(num_nodes, block_edges, interpret,
 
 def _seg_var_parts(num_nodes, block_edges, interpret, msgs, flags, cont,
                    last_edge, receivers, mask_f):
-    m = msgs * mask_f[:, None]
+    # square in f32: a bf16 square before the scan would lose the precision
+    # the f32 accumulation is there to keep
+    m = msgs.astype(jnp.float32) * mask_f[:, None]
     eb = flags.shape[0]
     s, s2 = _segmented_scan_pair(_pad_rows(m, eb), _pad_rows(m * m, eb),
                                  flags, cont, block_edges=block_edges,
@@ -718,8 +735,9 @@ def _seg_var_bwd(num_nodes, block_edges, interpret, res, g):
     packed = jnp.concatenate([g / cnt, mean], axis=1)
     pe = jnp.take(packed, receivers, axis=0)
     d = g.shape[1]
-    dm = 2.0 * (msgs - pe[:, d:]) * pe[:, :d] * mask_f[:, None]
-    return (dm, None, None, None, None, None)
+    dm = (2.0 * (msgs.astype(jnp.float32) - pe[:, d:]) * pe[:, :d]
+          * mask_f[:, None])
+    return (dm.astype(msgs.dtype), None, None, None, None, None)
 
 
 _seg_var_streamed.defvjp(_seg_var_fwd, _seg_var_bwd)

@@ -234,3 +234,44 @@ def test_pna_conv_scan_plan_matches_xla_path():
                        mask, scan_plan=plan)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_streamed_kernels_accept_bf16_streams():
+    """bf16 message streams pass into the kernels directly (no XLA f32
+    materialization pass); the scan converts at VMEM load and accumulates in
+    f32, and the VJPs return bf16 cotangents matching the primal dtype."""
+    E, N, D, block = 300, 64, 32, 128
+    msgs, recv, flags, cont, last, mask = _case(8, E, N, D, block=block)
+    m16 = msgs.astype(jnp.bfloat16)
+
+    out32 = segment_sum_streamed(msgs, recv, flags, cont, last, N,
+                                 edge_mask=mask, block_edges=block)
+    out16 = segment_sum_streamed(m16, recv, flags, cont, last, N,
+                                 edge_mask=mask, block_edges=block)
+    assert out16.dtype == jnp.float32  # accumulation stays f32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)
+
+    g = jax.grad(lambda m: jnp.sum(segment_sum_streamed(
+        m, recv, flags, cont, last, N, edge_mask=mask,
+        block_edges=block)))(m16)
+    assert g.dtype == jnp.bfloat16
+
+    s32 = softmax_aggregate_streamed(msgs, recv, flags, cont, last, N, 1.1,
+                                     edge_mask=mask, block_edges=block)
+    s16 = softmax_aggregate_streamed(m16, recv, flags, cont, last, N, 1.1,
+                                     edge_mask=mask, block_edges=block)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32),
+                               rtol=3e-2, atol=3e-2)
+    gs = jax.grad(lambda m: jnp.sum(softmax_aggregate_streamed(
+        m, recv, flags, cont, last, N, 1.1, edge_mask=mask,
+        block_edges=block)))(m16)
+    assert gs.dtype == jnp.bfloat16
+
+    from phc_gnn_tpu.ops.stream_scan import STREAMED_AGGREGATORS
+    for name in ("mean", "min", "max", "var", "std"):
+        o = STREAMED_AGGREGATORS[name](m16, recv, flags, cont, last, N, mask)
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+        ga = jax.grad(lambda m: jnp.sum(STREAMED_AGGREGATORS[name](
+            m, recv, flags, cont, last, N, mask)))(m16)
+        assert ga.dtype == jnp.bfloat16, name
