@@ -1,7 +1,7 @@
 // Native host-side graph batcher for phc-gnn-tpu.
 //
 // The TPU input pipeline's host hot path: stable edge sorting by receiver,
-// CSR row-pointer construction, fused-kernel segment planning, and padded
+// CSR row-pointer construction, and padded
 // batch packing.  Replaces the per-batch Python/numpy loops (and stands in for
 // the C-assisted PyG collation the reference leans on — SURVEY.md section 2.4)
 // with O(E) C++ over preallocated numpy buffers, called via ctypes.
@@ -34,64 +34,6 @@ void build_csr_rowptr(const int32_t* recv_sorted, int64_t num_edges,
   std::memset(rowptr_out, 0, sizeof(int64_t) * (num_nodes + 1));
   for (int64_t i = 0; i < num_edges; ++i) rowptr_out[recv_sorted[i] + 1]++;
   for (int32_t n = 0; n < num_nodes; ++n) rowptr_out[n + 1] += rowptr_out[n];
-}
-
-// Segment-plan sizes for the fused Pallas kernel (see ops/fused_segment.py):
-// every node tile gets >= 1 edge block; each tile's edge range is padded to a
-// multiple of block_edges.  Returns total blocks; *eb_out = blocks*block_edges.
-int64_t plan_sizes(const int32_t* recv_sorted, int64_t num_edges,
-                   int32_t num_nodes, int32_t tile_nodes, int32_t block_edges,
-                   int64_t* eb_out) {
-  const int32_t num_tiles = num_nodes / tile_nodes;
-  int64_t blocks = 0;
-  int64_t lo = 0;
-  for (int32_t t = 0; t < num_tiles; ++t) {
-    const int32_t hi_node = (t + 1) * tile_nodes;
-    int64_t hi = lo;
-    while (hi < num_edges && recv_sorted[hi] < hi_node) ++hi;
-    const int64_t cnt = hi - lo;
-    const int64_t nb = std::max<int64_t>(1, (cnt + block_edges - 1) / block_edges);
-    blocks += nb;
-    lo = hi;
-  }
-  *eb_out = blocks * block_edges;
-  return blocks;
-}
-
-// Fill the plan arrays (edge_perm: -1 marks padding slots; recv_local within
-// tile; block_tile / block_first per block).
-void plan_fill(const int32_t* recv_sorted, int64_t num_edges,
-               int32_t num_nodes, int32_t tile_nodes, int32_t block_edges,
-               int64_t* edge_perm, int32_t* recv_local, int32_t* block_tile,
-               int32_t* block_first) {
-  const int32_t num_tiles = num_nodes / tile_nodes;
-  int64_t lo = 0;
-  int64_t slot = 0;
-  int64_t block = 0;
-  for (int32_t t = 0; t < num_tiles; ++t) {
-    const int32_t hi_node = (t + 1) * tile_nodes;
-    int64_t hi = lo;
-    while (hi < num_edges && recv_sorted[hi] < hi_node) ++hi;
-    const int64_t cnt = hi - lo;
-    const int64_t nb = std::max<int64_t>(1, (cnt + block_edges - 1) / block_edges);
-    const int64_t padded = nb * block_edges;
-    for (int64_t i = 0; i < padded; ++i) {
-      if (i < cnt) {
-        edge_perm[slot] = lo + i;
-        recv_local[slot] = recv_sorted[lo + i] - t * tile_nodes;
-      } else {
-        edge_perm[slot] = -1;
-        recv_local[slot] = tile_nodes - 1;
-      }
-      ++slot;
-    }
-    for (int64_t b = 0; b < nb; ++b) {
-      block_tile[block] = t;
-      block_first[block] = (b == 0) ? 1 : 0;
-      ++block;
-    }
-    lo = hi;
-  }
 }
 
 // Pack a batch of graphs into padded buffers.

@@ -75,8 +75,7 @@ class PaddedLoader:
                  shuffle: bool = False, seed: int = 0,
                  transform: Optional[Callable[[dict], dict]] = None,
                  drop_last: bool = False, sub_buckets: int = 1,
-                 align: int = 128, plan_layout: bool = False,
-                 tile_nodes: int = 128, block_edges: int = 128,
+                 align: int = 128,
                  scan_plan: bool = False, scan_block: int = 256):
         self.graphs = graphs
         self.bucket = bucket
@@ -84,9 +83,6 @@ class PaddedLoader:
         self.seed = seed
         self.transform = transform
         self.drop_last = drop_last
-        self.plan_layout = plan_layout
-        self.tile_nodes = tile_nodes
-        self.block_edges = block_edges
         self.scan_plan = scan_plan
         self.scan_block = scan_block
         self.ladder = [bucket]
@@ -133,11 +129,7 @@ class PaddedLoader:
     def _pack(self, graphs: List[dict], b: Optional[BucketSpec] = None) -> GraphsTuple:
         b = b or self.bucket
         out = self._pack_raw(graphs, b)
-        if self.plan_layout:
-            out = apply_plan_layout(
-                out, self.tile_nodes, self.block_edges,
-                plan_blocks_for_bucket(b, self.tile_nodes, self.block_edges))
-        elif self.scan_plan:
+        if self.scan_plan:
             from phc_gnn_tpu.ops.stream_scan import attach_scan_plan
             out = attach_scan_plan(out, self.scan_block)
         return out
@@ -184,49 +176,3 @@ class PaddedLoader:
             y=jnp.asarray(y) if y is not None else None)
 
 
-def apply_plan_layout(batch: GraphsTuple, tile_nodes: int = 128,
-                      block_edges: int = 128,
-                      num_blocks: Optional[int] = None) -> GraphsTuple:
-    """Re-lay the batch's edge arrays into fused-kernel tile-block order.
-
-    Host-side: builds the segment plan for the (receiver-sorted) edges, permutes
-    senders/receivers/edge features into plan order with inline padding slots,
-    and attaches recv_local/block_tile/block_first (see ops/fused_softmax.py).
-    ``num_blocks`` pins the block count so all batches of a bucket share one
-    shape (pass round_up(ceil(E/BE) + N/TN, 8)).
-    """
-    from phc_gnn_tpu.data.native import build_segment_plan_native
-    from phc_gnn_tpu.ops.fused_softmax import pad_plan_to
-
-    n = batch.num_nodes
-    assert n % tile_nodes == 0, (n, tile_nodes)
-    recv = np.asarray(batch.receivers)
-    plan = build_segment_plan_native(recv, n, tile_nodes, block_edges)
-    if num_blocks is None:
-        num_blocks = round_up(plan.block_tile.shape[0], 8)
-    plan = pad_plan_to(plan, num_blocks)
-
-    perm = plan.edge_perm
-    take = np.clip(perm, 0, max(len(recv) - 1, 0))
-    valid = perm >= 0
-    old_mask = np.asarray(batch.edge_mask)
-    new_mask = valid & old_mask[take]
-    senders = np.where(valid, np.asarray(batch.senders)[take], n - 1).astype(np.int32)
-    receivers = np.where(valid, recv[take], n - 1).astype(np.int32)
-    edges = np.asarray(batch.edges)[take]
-    edges = np.where(valid.reshape((-1,) + (1,) * (edges.ndim - 1)), edges, 0)
-    recv_local = np.where(new_mask, plan.recv_local, tile_nodes).astype(np.int32)
-
-    return batch.replace(
-        edges=jnp.asarray(edges), senders=jnp.asarray(senders),
-        receivers=jnp.asarray(receivers), edge_mask=jnp.asarray(new_mask),
-        recv_local=jnp.asarray(recv_local),
-        block_tile=jnp.asarray(plan.block_tile),
-        block_first=jnp.asarray(plan.block_first))
-
-
-def plan_blocks_for_bucket(bucket: BucketSpec, tile_nodes: int = 128,
-                           block_edges: int = 128) -> int:
-    """Fixed block count covering any batch of this bucket."""
-    worst = -(-bucket.num_edges // block_edges) + bucket.num_nodes // tile_nodes
-    return round_up(worst, 8)

@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["get_lib", "native_available", "sort_edges_by_receiver",
-           "build_csr_rowptr", "build_segment_plan_native", "pack_batch_native"]
+           "build_csr_rowptr", "pack_batch_native"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -56,12 +56,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                            ctypes.c_int32, _i64p]
     lib.build_csr_rowptr.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
                                      _i64p]
-    lib.plan_sizes.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
-                               ctypes.c_int32, ctypes.c_int32, _i64p]
-    lib.plan_sizes.restype = ctypes.c_int64
-    lib.plan_fill.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int32,
-                              ctypes.c_int32, ctypes.c_int32, _i64p, _i32p,
-                              _i32p, _i32p]
     lib.pack_batch.argtypes = [
         _i32p, _i32p, _i32p, _i32p, _i64p, _i64p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -105,35 +99,6 @@ def build_csr_rowptr(recv_sorted: np.ndarray, num_nodes: int) -> np.ndarray:
                          rowptr.ctypes.data_as(_i64p))
     return rowptr
 
-
-def build_segment_plan_native(recv_sorted: np.ndarray, num_nodes: int,
-                              tile_nodes: int, block_edges: int):
-    """C++-built SegmentPlan (falls back to the numpy planner)."""
-    from phc_gnn_tpu.ops.fused_segment import SegmentPlan, build_segment_plan
-
-    lib = get_lib()
-    if lib is None:
-        return build_segment_plan(recv_sorted, num_nodes, tile_nodes,
-                                  block_edges)
-    recv_sorted = _as_i32(recv_sorted)
-    eb = ctypes.c_int64()
-    nb = lib.plan_sizes(recv_sorted.ctypes.data_as(_i32p),
-                        recv_sorted.shape[0], num_nodes, tile_nodes,
-                        block_edges, ctypes.byref(eb))
-    edge_perm = np.empty(eb.value, np.int64)
-    recv_local = np.empty(eb.value, np.int32)
-    block_tile = np.empty(nb, np.int32)
-    block_first = np.empty(nb, np.int32)
-    lib.plan_fill(recv_sorted.ctypes.data_as(_i32p), recv_sorted.shape[0],
-                  num_nodes, tile_nodes, block_edges,
-                  edge_perm.ctypes.data_as(_i64p),
-                  recv_local.ctypes.data_as(_i32p),
-                  block_tile.ctypes.data_as(_i32p),
-                  block_first.ctypes.data_as(_i32p))
-    return SegmentPlan(edge_perm=edge_perm, recv_local=recv_local,
-                       block_tile=block_tile, block_first=block_first,
-                       tile_nodes=tile_nodes, block_edges=block_edges,
-                       num_tiles=num_nodes // tile_nodes)
 
 
 def pack_batch_native(node_feats, edge_feats, senders, receivers,

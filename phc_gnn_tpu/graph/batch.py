@@ -30,14 +30,9 @@ __all__ = ["GraphsTuple", "pad_graph_batch", "batch_graphs"]
 class GraphsTuple:
     """A padded batch of disjoint graphs, jit-stable.
 
-    When built with ``plan_layout`` (data/loader.py), the edge arrays are
-    additionally laid out in fused-kernel tile-block order (see
-    ops/fused_segment.py): every ``block_edges`` consecutive edge slots write
-    into one ``tile_nodes``-row output tile.  The extra fields carry the plan:
-    ``recv_local`` is the receiver row within its tile (== tile_nodes marks an
-    invalid/padding slot) and ``block_tile`` / ``block_first`` map edge blocks
-    to output tiles.  Receiver-sortedness is preserved, so all generic segment
-    ops keep working on plan-ordered edges.
+    Edge arrays are receiver-sorted (batch_graphs / the native packer
+    guarantee it); the optional scan-plan fields feed the streaming
+    segmented-scan kernels (ops/stream_scan.py).
     """
 
     nodes: jax.Array      # [N_pad, ...] node features (int categorical or float)
@@ -49,10 +44,6 @@ class GraphsTuple:
     edge_mask: jax.Array  # [E_pad] bool
     graph_mask: jax.Array  # [G_pad] bool
     y: Optional[jax.Array] = None  # [G_pad, target_dim] labels (NaN = missing)
-    # fused-kernel plan layout (optional)
-    recv_local: Optional[jax.Array] = None   # [E_pad] int32, tile-local rows
-    block_tile: Optional[jax.Array] = None   # [NB] int32
-    block_first: Optional[jax.Array] = None  # [NB] int32
     # streaming-scan plan (optional; ops/stream_scan.py — requires edges
     # sorted by receiver, which batch_graphs/the native packer guarantee)
     scan_flags: Optional[jax.Array] = None   # [EB, 1] f32 segment starts
@@ -179,7 +170,7 @@ def pad_graph_batch(batch: GraphsTuple, num_nodes: int, num_edges: int,
         cfg = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
         return jnp.pad(arr, cfg, constant_values=fill)
 
-    # plan-layout fields do not survive re-padding; drop them
+    # scan-plan fields do not survive re-padding; drop them
     return GraphsTuple(
         nodes=pad_to(batch.nodes, num_nodes),
         edges=pad_to(batch.edges, num_edges),

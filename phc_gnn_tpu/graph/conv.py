@@ -58,11 +58,11 @@ def _messages(x, senders, edge_attr, msg_encoder: str, x_remote=None):
 
 
 def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
-                  plan, tile_nodes, scan_plan=None):
-    """Softmax aggregation, best kernel first: the streaming segmented-scan
-    (measured 1.66x over the XLA composite on TPU v5e, KERNELS.md) when the
-    batch carries a scan plan, the round-1 one-hot-tile kernel with a plan
-    layout, XLA composite otherwise (and always under edge partitioning)."""
+                  scan_plan=None):
+    """Softmax aggregation: the streaming segmented-scan kernel (measured
+    1.46x over the XLA composite on TPU v5e, KERNELS.md) when the batch
+    carries a scan plan, XLA composite otherwise (and always under edge
+    partitioning)."""
     if scan_plan is not None and edge_axis is None:
         from phc_gnn_tpu.ops.stream_scan import softmax_aggregate_streamed
 
@@ -70,13 +70,6 @@ def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
         return softmax_aggregate_streamed(
             msgs, receivers, flags, cont, last_edge, num_nodes, beta,
             edge_mask)
-    if plan is not None and edge_axis is None:
-        from phc_gnn_tpu.ops.fused_softmax import fused_softmax_aggregate_planned
-
-        recv_local, block_tile, block_first = plan
-        return fused_softmax_aggregate_planned(
-            msgs, beta, recv_local, block_tile, block_first, num_nodes,
-            tile_nodes, receivers, edge_mask)
     return softmax_aggregate(msgs, receivers, num_nodes, beta, edge_mask,
                              axis_name=edge_axis)
 
@@ -198,11 +191,10 @@ class PHMConvSoftmax(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
-    tile_nodes: int = 128
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None,
+                 phm_rule=None, training: bool = False,
                  scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
@@ -210,7 +202,7 @@ class PHMConvSoftmax(nn.Module):
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
         aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
-                             self.edge_axis, plan, self.tile_nodes, scan_plan)
+                             self.edge_axis, scan_plan)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
                               self.bias, self.w_init, self.c_init,
                               self.learn_phm, self.shared_rule, self.dtype,
@@ -246,12 +238,11 @@ class PHMGINEConvSoftmax(nn.Module):
     shared_rule: bool = False
     edge_axis: Optional[str] = None
     dtype: Any = None
-    tile_nodes: int = 128
     stat_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None,
+                 phm_rule=None, training: bool = False,
                  node_mask=None, scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
         msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
@@ -259,7 +250,7 @@ class PHMGINEConvSoftmax(nn.Module):
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
         aggr = _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask,
-                             self.edge_axis, plan, self.tile_nodes, scan_plan)
+                             self.edge_axis, scan_plan)
         if self.add_self_loops:
             aggr = aggr + x
         return PHMMLP(self.in_features, self.out_features, self.phm_dim,
@@ -365,7 +356,7 @@ class PHMMessagePassing(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask=None,
-                 phm_rule=None, training: bool = False, plan=None,
+                 phm_rule=None, training: bool = False,
                  node_mask=None, scan_plan=None, x_remote=None):
         aggr = "sum" if self.aggr == "add" else self.aggr
         common = dict(in_features=self.in_features, out_features=self.out_features,
@@ -406,11 +397,11 @@ class PHMMessagePassing(nn.Module):
         if aggr == "softmax":
             if self.mlp:
                 return conv(x, senders, receivers, edge_attr, edge_mask,
-                            phm_rule, training=training, plan=plan,
+                            phm_rule, training=training,
                             node_mask=node_mask, scan_plan=scan_plan,
                             x_remote=x_remote)
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,
-                        training=training, plan=plan, scan_plan=scan_plan,
+                        training=training, scan_plan=scan_plan,
                         x_remote=x_remote)
         if aggr == "pna":
             return conv(x, senders, receivers, edge_attr, edge_mask, phm_rule,

@@ -187,9 +187,6 @@ class PHCGNN(nn.Module):
             rule = jax.lax.stop_gradient(rule)
 
         x_raw, e_raw = graphs.nodes, graphs.edges
-        plan = None
-        if graphs.recv_local is not None and self.edge_axis is None:
-            plan = (graphs.recv_local, graphs.block_tile, graphs.block_first)
         scan_plan = None
         if graphs.scan_flags is not None and self.edge_axis is None:
             scan_plan = (graphs.scan_flags, graphs.scan_cont, graphs.last_edge)
@@ -231,16 +228,16 @@ class PHCGNN(nn.Module):
                 x_remote = halo_exchange(x, graphs.halo_send, self.node_axis)
             if self.remat:
                 h = nn.remat(
-                    lambda m, x_, s_, r_, e_, em_, rule_, plan_, nm_, sp_, xr_:
+                    lambda m, x_, s_, r_, e_, em_, rule_, nm_, sp_, xr_:
                     m(x_, s_, r_, e_, em_, rule_, training=training,
-                      plan=plan_, node_mask=nm_, scan_plan=sp_, x_remote=xr_))(
+                      node_mask=nm_, scan_plan=sp_, x_remote=xr_))(
                     self.convs[i], x, graphs.senders, graphs.receivers,
-                    edge_emb, graphs.edge_mask, rule, plan, graphs.node_mask,
+                    edge_emb, graphs.edge_mask, rule, graphs.node_mask,
                     scan_plan, x_remote)
             else:
                 h = self.convs[i](x, graphs.senders, graphs.receivers,
                                   edge_emb, graphs.edge_mask, rule,
-                                  training=training, plan=plan,
+                                  training=training,
                                   node_mask=graphs.node_mask,
                                   scan_plan=scan_plan, x_remote=x_remote)
             if self.norms[i] is not None:

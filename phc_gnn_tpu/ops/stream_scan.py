@@ -4,7 +4,7 @@ Replaces torch_scatter's CUDA segment kernels (reference:
 phc/hypercomplex/aggregator.py:70-103, scatter_softmax at
 undirectional/messagepassing.py:212-214) with a TPU-native design that touches
 each message O(1) times with O(1) FLOPs — unlike the round-1 one-hot-matmul
-tiles (ops/fused_segment.py) whose S-matmul cost could only tie XLA.
+tiles (removed in round 3; record in KERNELS.md) whose S-matmul cost could only tie XLA.
 
 Design
 ------

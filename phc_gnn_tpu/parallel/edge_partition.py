@@ -38,10 +38,8 @@ def partition_edges(batch: GraphsTuple, num_shards: int) -> GraphsTuple:
     """Round the edge arrays up to a multiple of num_shards (padding edges
     attach to the last node with mask False).  Shard-ready: shard_map splits the
     leading edge axis evenly."""
-    # plan-layout / scan-plan fields are single-chip structures; strip them
+    # scan-plan fields are single-chip structures; strip them
     # (the generic segment ops with collectives handle the sharded path)
-    if batch.recv_local is not None:
-        batch = batch.replace(recv_local=None, block_tile=None, block_first=None)
     if batch.scan_flags is not None:
         batch = batch.replace(scan_flags=None, scan_cont=None, last_edge=None)
     e = batch.num_edges

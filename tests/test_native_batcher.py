@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from phc_gnn_tpu.data import native
-from phc_gnn_tpu.ops.fused_segment import build_segment_plan
 
 pytestmark = pytest.mark.skipif(not native.native_available(),
                                 reason="native lib not built")
@@ -23,16 +22,6 @@ def test_csr_rowptr():
     rowptr = native.build_csr_rowptr(recv, 6)
     np.testing.assert_array_equal(rowptr, [0, 2, 2, 5, 5, 5, 6])
 
-
-def test_segment_plan_matches_python():
-    rng = np.random.default_rng(1)
-    recv = np.sort(rng.integers(0, 512, size=2000)).astype(np.int32)
-    got = native.build_segment_plan_native(recv, 512, 128, 128)
-    want = build_segment_plan(recv, 512, 128, 128)
-    np.testing.assert_array_equal(got.edge_perm, want.edge_perm)
-    np.testing.assert_array_equal(got.recv_local, want.recv_local)
-    np.testing.assert_array_equal(got.block_tile, want.block_tile)
-    np.testing.assert_array_equal(got.block_first, want.block_first)
 
 
 def test_pack_batch_matches_python_batcher():
@@ -130,17 +119,3 @@ def test_pack_batch_fuzz_matches_python():
                                       np.asarray(want.edge_mask), err_msg=f"trial {trial}")
 
 
-def test_segment_plan_fuzz_matches_python():
-    from phc_gnn_tpu.ops.fused_segment import build_segment_plan
-
-    rng = np.random.default_rng(321)
-    for trial in range(15):
-        n = int(rng.choice([128, 256, 512]))
-        e = int(rng.integers(0, 4 * n))
-        recv = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
-        got = native.build_segment_plan_native(recv, n, 128, 64)
-        want = build_segment_plan(recv, n, 128, 64)
-        np.testing.assert_array_equal(got.edge_perm, want.edge_perm, err_msg=f"trial {trial}")
-        np.testing.assert_array_equal(got.recv_local, want.recv_local, err_msg=f"trial {trial}")
-        np.testing.assert_array_equal(got.block_tile, want.block_tile, err_msg=f"trial {trial}")
-        np.testing.assert_array_equal(got.block_first, want.block_first, err_msg=f"trial {trial}")
