@@ -60,6 +60,11 @@ class IntegerEncoder(nn.Module):
             idx = jnp.clip(x, 0, hi[None, :]) \
                 + jnp.asarray(offs, x.dtype)[None, :]              # [B, F]
             vocab_iota = jnp.arange(total, dtype=idx.dtype)
+            # the [B, F, V] compare-reduce fuses into the sum on TPU (checked
+            # in the profile trace); total V for the OGB/mol vocabularies is
+            # O(100).  If a dataset with a large concatenated vocab is ever
+            # added, switch to per-feature one-hots accumulated into [B, V]
+            # to bound the transient (ADVICE r2).
             onehot = jnp.sum(
                 (idx[:, :, None] == vocab_iota[None, None, :])
                 .astype(jnp.float32), axis=1)                       # [B, V]

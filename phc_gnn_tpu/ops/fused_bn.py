@@ -13,9 +13,13 @@ Semantics match _BatchNorm exactly: statistics over mask-True rows only
 garbage that downstream masking ignores), f32 throughout.
 
 dx = scale * r * (g - m/c * sum(g) - m * xhat * sum(g * xhat) / c)
-dscale = sum(g * xhat),  dbias = sum(g)     (sums over masked rows for the
-stats terms; dscale/dbias sums over ALL rows, matching autodiff of the
-unfused form where padding rows still flow through y = xhat*scale + bias).
+dscale = sum(g * xhat),  dbias = sum(g)
+
+ALL reduction sums (sum_g, sum_gx, dscale, dbias) run over ALL rows — every
+row's y depends on mean/var, so autodiff of the unfused form routes every
+cotangent row through the stats.  The per-row mask factor ``m`` only gates
+each row's OWN stats-path contribution inside dx (masked rows were excluded
+from mean/var, so their xhat never fed the statistics).
 """
 
 from __future__ import annotations

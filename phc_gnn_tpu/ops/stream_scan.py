@@ -323,12 +323,16 @@ def _segmented_scan_max(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK
 
 def segment_max_streamed(vals, flags, cont, last_edge, num_nodes: int,
                          block_edges: Optional[int] = None,
-                         interpret: bool = False):
+                         interpret: bool = False, valid=None):
     """Segment max of receiver-sorted ``vals`` [E, D] into [num_nodes, D]
     via the streaming max-scan (replaces XLA's scatter-max lowering of
     jax.ops.segment_max).  Masked rows must already carry -1e30; empty
-    segments return 0.  Not differentiable (softmax uses it under
-    stop_gradient only)."""
+    segments return 0.  ``valid`` [num_nodes] bool marks segments with at
+    least one unmasked edge; when omitted, segments whose max sits at the
+    -1e30 identity are treated as all-masked (a value threshold — exact for
+    any realistic activation magnitude, callers with a mask in hand pass
+    ``valid`` to avoid the conflation at |x| >= 5e29).  Not differentiable
+    (softmax uses it under stop_gradient only)."""
     interpret = interpret or jax.default_backend() != "tpu"
     block_edges = block_edges or flags.shape[0] // cont.shape[0]
     eb = flags.shape[0]
@@ -339,6 +343,9 @@ def segment_max_streamed(vals, flags, cont, last_edge, num_nodes: int,
                                interpret=interpret)
     out = jnp.take(scan, jnp.clip(last_edge, 0, eb - 1), axis=0)
     has_edges = (last_edge >= 0)[:, None]
+    if valid is not None:
+        has_edges = has_edges & valid[:, None]
+        return jnp.where(has_edges, out, 0.0)
     return jnp.where(has_edges & (out > _NEG / 2), out, 0.0)
 
 
@@ -496,7 +503,11 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
         interpret=interpret)
     last = jnp.clip(last_edge, 0, eb - 1)
     seg_max = jnp.take(scan_max, last, axis=0)
-    seg_max = jnp.where((last_edge >= 0)[:, None] & (seg_max > _NEG / 2),
+    # all-masked segments get seg_max = 0 so w = exp(-1e30 - 0) underflows to
+    # 0 cleanly; the validity indicator is a scanned mask count, not a value
+    # threshold (single-lane segment sum, 1/D of the feature traffic)
+    valid = _counts(receivers, edge_mask_f, num_nodes) > 0
+    seg_max = jnp.where((last_edge >= 0)[:, None] & valid[:, None],
                         seg_max, 0.0)
     smax_e = jnp.take(seg_max, receivers, axis=0)
     numer, denom = _segmented_scan_softmax(
@@ -646,8 +657,10 @@ def _seg_extreme_streamed(sign, num_nodes, block_edges, interpret,
     # max for sign=+1, min for sign=-1 (min(x) = -max(-x)); empty segments -> 0
     vals = jnp.where(mask_f[:, None] > 0, sign * msgs.astype(jnp.float32),
                      _NEG)
+    valid = _counts(receivers, mask_f, num_nodes) > 0
     out = segment_max_streamed(vals, flags, cont, last_edge, num_nodes,
-                               block_edges=block_edges, interpret=interpret)
+                               block_edges=block_edges, interpret=interpret,
+                               valid=valid)
     return sign * out
 
 

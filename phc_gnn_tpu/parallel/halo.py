@@ -43,6 +43,7 @@ from phc_gnn_tpu.parallel.dp import loss_weight, weighted_mean
 from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
 
 __all__ = [
+    "SlotOverflow",
     "partition_nodes",
     "halo_exchange",
     "node_partition_specs",
@@ -50,6 +51,20 @@ __all__ = [
     "make_dp_np_train_step",
     "make_dp_np_batch_specs",
 ]
+
+
+class SlotOverflow(ValueError):
+    """A fixed edge_slots/halo_slots capacity is too small for this batch.
+
+    Raised (instead of a bare assert) so the trainer's rung-growth path can
+    catch exactly this condition and re-partition at larger slot sizes,
+    without swallowing unrelated assertion failures (ADVICE r2)."""
+
+    def __init__(self, needed_edge_slots: int, needed_halo_slots: int,
+                 msg: str):
+        super().__init__(msg)
+        self.needed_edge_slots = needed_edge_slots
+        self.needed_halo_slots = needed_halo_slots
 
 
 
@@ -99,10 +114,6 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     # per-shard edge slices (contiguous because edges are receiver-sorted)
     counts = np.bincount(owner_e, minlength=S)
     ES = round_up(max(int(counts.max()), 1), edge_align)
-    if edge_slots is not None:
-        assert ES <= edge_slots, (
-            f"edge shard needs {ES} slots > fixed edge_slots={edge_slots}")
-        ES = edge_slots
     e_starts = np.concatenate([[0], np.cumsum(counts)])
 
     # halo send lists: for each (src_owner t, edge_owner s) pair the unique
@@ -120,9 +131,16 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
             send_lists[t][s] = uniq
             max_cut = max(max_cut, len(uniq))
     H = round_up(max(max_cut, 1), halo_align)
+    # both capacity checks deferred to here so one SlotOverflow carries both
+    # needed sizes (the trainer's rung growth re-partitions exactly once)
+    if ((edge_slots is not None and ES > edge_slots)
+            or (halo_slots is not None and H > halo_slots)):
+        raise SlotOverflow(ES, H, (
+            f"shard needs edge_slots={ES} (fixed {edge_slots}), "
+            f"halo_slots={H} (fixed {halo_slots})"))
+    if edge_slots is not None:
+        ES = edge_slots
     if halo_slots is not None:
-        assert H <= halo_slots, (
-            f"halo needs {H} slots > fixed halo_slots={halo_slots}")
         H = halo_slots
 
     F_node = nodes.shape[1:]

@@ -253,17 +253,20 @@ class Trainer:
         widths on coarse rungs (grown on demand) so consecutive batches — and
         all members of a dp group — share static shapes and one executable."""
         from phc_gnn_tpu.parallel import partition_edges, partition_nodes
+        from phc_gnn_tpu.parallel.halo import SlotOverflow
         if self.ep_scheme != "halo":
             return partition_edges(batch, self.ep)
         es, h = self._np_slots
+        need_es, need_h = 1, 1
         if es is not None:
             try:
                 return partition_nodes(batch, self.ep, edge_slots=es,
                                        halo_slots=h, scan_plan=self.ep_scan)
-            except AssertionError:
-                pass  # grow the rungs below
-        nat = partition_nodes(batch, self.ep)
-        need_es, need_h = nat.senders.shape[1], nat.halo_send.shape[2]
+            except SlotOverflow as o:  # grow the rungs below
+                need_es, need_h = o.needed_edge_slots, o.needed_halo_slots
+        else:
+            nat = partition_nodes(batch, self.ep)
+            need_es, need_h = nat.senders.shape[1], nat.halo_send.shape[2]
         es = -(-max(need_es, es or 0) // 512) * 512
         h = -(-max(need_h, h or 0) // 64) * 64
         self._np_slots = (es, h)

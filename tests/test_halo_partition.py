@@ -293,3 +293,22 @@ def test_np_step_qbn_matches_single_device():
                     jax.tree_util.tree_leaves(new_np.batch_stats)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_slot_overflow_carries_needed_sizes():
+    """Undersized fixed slots raise SlotOverflow (never a bare
+    AssertionError) carrying both needed sizes, and re-partitioning at those
+    sizes succeeds (ADVICE r2: the trainer's rung growth catches exactly
+    this)."""
+    from phc_gnn_tpu.parallel.halo import SlotOverflow
+    batch = synthetic_batch(batch_size=8, num_nodes=256, num_edges=512, seed=3)
+    nat = partition_nodes(batch, 2)
+    need_es, need_h = nat.senders.shape[1], nat.halo_send.shape[2]
+    with pytest.raises(SlotOverflow) as ei:
+        partition_nodes(batch, 2, edge_slots=max(need_es - 128, 128),
+                        halo_slots=need_h)
+    assert ei.value.needed_edge_slots == need_es
+    assert ei.value.needed_halo_slots == need_h
+    part = partition_nodes(batch, 2, edge_slots=ei.value.needed_edge_slots,
+                           halo_slots=ei.value.needed_halo_slots)
+    assert part.senders.shape[1] == need_es

@@ -275,3 +275,28 @@ def test_streamed_kernels_accept_bf16_streams():
         ga = jax.grad(lambda m: jnp.sum(STREAMED_AGGREGATORS[name](
             m, recv, flags, cont, last, N, mask)))(m16)
         assert ga.dtype == jnp.bfloat16, name
+
+
+def test_segment_extremes_survive_extreme_magnitudes():
+    """ADVICE r2: the all-masked-segment indicator must be a scanned mask
+    count, not a value threshold — a legitimate max <= -5e29 (or min >= 5e29)
+    must come through, and all-masked segments must still return 0."""
+    from phc_gnn_tpu.ops.stream_scan import (segment_max_agg_streamed,
+                                             segment_min_agg_streamed)
+    N, D, block = 4, 8, 128
+    recv = np.array([0, 0, 1, 1, 3], np.int32)
+    msgs = np.full((5, D), -8e29, np.float32)
+    msgs[2:4] = 8e29
+    mask = np.array([True, True, True, True, False])  # node 3: all masked
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    args = (jnp.asarray(msgs), jnp.asarray(recv), jnp.asarray(flags),
+            jnp.asarray(cont), jnp.asarray(last), N, jnp.asarray(mask))
+    got_max = np.asarray(segment_max_agg_streamed(*args, block_edges=block))
+    got_min = np.asarray(segment_min_agg_streamed(*args, block_edges=block))
+    np.testing.assert_allclose(got_max[0], np.full(D, -8e29, np.float32),
+                               rtol=1e-6)
+    np.testing.assert_allclose(got_min[1], np.full(D, 8e29, np.float32),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(got_max[2], np.zeros(D))  # no edges
+    np.testing.assert_array_equal(got_max[3], np.zeros(D))  # all masked
+    np.testing.assert_array_equal(got_min[3], np.zeros(D))
