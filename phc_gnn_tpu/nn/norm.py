@@ -11,11 +11,12 @@
 
 BN semantics follow torch.nn.BatchNorm1d: batch statistics use biased variance
 for normalization, running stats are updated as
-``running += momentum * (batch - running)`` with torch's momentum=0.1 and the
-reference's update form (quaternion/norm.py:113-127); running var stores the
-*biased* batch variance as the reference does for the whitening BN and torch's
-unbiased for the naive BNs — we use biased everywhere and note the divergence
-(unbiased correction N/(N-1) is < 0.1% at reference batch sizes).
+``running += momentum * (batch - running)`` with torch's momentum=0.1.  The
+naive BNs store the UNBIASED batch variance (x N/(N-1)) in the running var,
+exactly like torch BatchNorm1d — at reference batch sizes the correction is
+< 0.1 % but on small graphs it is visible in eval outputs (pinned by
+tests/test_trained_parity.py).  The whitening BN stores the BIASED covariance,
+exactly like the reference's own update (quaternion/norm.py:123-127).
 """
 
 from __future__ import annotations
@@ -27,6 +28,10 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["PHMNorm", "QuaternionWhiteningNorm"]
+
+# test hook: force the fused-BN branch (in Pallas interpret mode) off-TPU so
+# CPU tests cover the fused path's stat bookkeeping, not just the XLA path
+_FORCE_FUSED_INTERPRET = False
 
 
 class _BatchNorm(nn.Module):
@@ -69,17 +74,21 @@ class _BatchNorm(nn.Module):
             from phc_gnn_tpu.ops.fused_bn import (FUSED_BN_VMEM_LIMIT,
                                                   fused_masked_bn)
             fused = (self.stat_axis is None and not self.is_initializing()
-                     and jax.default_backend() == "tpu"
+                     and (jax.default_backend() == "tpu"
+                          or _FORCE_FUSED_INTERPRET)
                      and x.size * 4 <= FUSED_BN_VMEM_LIMIT)
             if fused:
                 # single-block Pallas kernel: stats + normalize in one HBM
                 # read + write, analytic VJP (ops/fused_bn.py)
                 flat = x.reshape(x.shape[0], -1)
                 y, mean, var = fused_masked_bn(
-                    flat, mask, scale.reshape(-1), bias.reshape(-1), self.eps)
+                    flat, mask, scale.reshape(-1), bias.reshape(-1), self.eps,
+                    interpret=_FORCE_FUSED_INTERPRET)
                 y = y.reshape(x.shape)
                 mean = mean.reshape(feat_shape)
                 var = var.reshape(feat_shape)
+                cnt = (jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+                       if mask is not None else jnp.float32(x.shape[0]))
             else:
                 # Two-pass batch statistics: mean first, then E[(x-mean)^2].
                 # The one-pass shifted form E[(x-c)^2]-E[x-c]^2
@@ -101,8 +110,11 @@ class _BatchNorm(nn.Module):
                 y = ((x - mean) * jax.lax.rsqrt(var + self.eps)
                      * scale + bias)
             if not self.is_initializing():
+                # torch BatchNorm1d stores the UNBIASED variance in the
+                # running buffer while normalizing with the biased one
+                var_u = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
-                ra_var.value = ra_var.value + self.momentum * (var - ra_var.value)
+                ra_var.value = ra_var.value + self.momentum * (var_u - ra_var.value)
         else:
             mean, var = ra_mean.value, ra_var.value
             y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias

@@ -182,8 +182,11 @@ def test_norm_running_stats_update_and_eval():
     stats = updates["batch_stats"]["bn"]
     # running = 0 + 0.1 * (batch_mean - 0)
     np.testing.assert_allclose(stats["mean"], 0.1 * np.asarray(x).mean(0), rtol=1e-4)
+    # torch BatchNorm1d stores the UNBIASED batch variance in the running
+    # buffer (ddof=1) while normalizing with the biased one
     np.testing.assert_allclose(
-        stats["var"], 1.0 + 0.1 * (np.asarray(x).var(0) - 1.0), rtol=1e-4)
+        stats["var"], 1.0 + 0.1 * (np.asarray(x).var(0, ddof=1) - 1.0),
+        rtol=1e-4)
     # eval mode uses running stats
     variables2 = {"params": variables.get("params", {}), "batch_stats": updates["batch_stats"]}
     y_eval = norm.apply(variables2, x, training=False)
@@ -397,3 +400,34 @@ def test_fused_bn_matches_unfused_two_pass():
                 err_fused = float(jnp.abs(a.astype(jnp.float64) - c).max())
                 err_two = float(jnp.abs(b.astype(jnp.float64) - c).max())
                 assert err_fused <= 2.5 * err_two + 1e-4, (err_fused, err_two)
+
+
+def test_norm_running_stats_fused_path_matches_xla_path():
+    """The fused-BN branch of _BatchNorm must produce the same running-stat
+    updates (torch's UNBIASED running var) as the two-pass XLA branch —
+    covered on CPU via the interpret hook since the fused gate is TPU-only."""
+    import phc_gnn_tpu.nn.norm as norm_mod
+
+    n, d, batch = 2, 8, 32
+    norm = PHMNorm(num_features=n * d, phm_dim=n,
+                   norm_type="naive-naive-batch-norm")
+    x = jax.random.normal(jax.random.key(0), (batch, n * d)) * 2 + 3
+    mask = jax.random.uniform(jax.random.key(3), (batch,)) > 0.3
+    variables = norm.init(jax.random.key(1), x, training=True, mask=mask)
+    y0, up0 = norm.apply(variables, x, training=True, mask=mask,
+                         mutable=["batch_stats"])
+    norm_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        y1, up1 = norm.apply(variables, x, training=True, mask=mask,
+                             mutable=["batch_stats"])
+    finally:
+        norm_mod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(up1["batch_stats"]["bn"][k]),
+                                   np.asarray(up0["batch_stats"]["bn"][k]),
+                                   rtol=1e-5, atol=1e-6)
+    xm = np.asarray(x)[np.asarray(mask)]
+    np.testing.assert_allclose(np.asarray(up1["batch_stats"]["bn"]["var"]),
+                               1.0 + 0.1 * (xm.var(0, ddof=1) - 1.0),
+                               rtol=1e-4)
