@@ -71,17 +71,24 @@ class _BatchNorm(nn.Module):
             bias = jnp.zeros(feat_shape, jnp.float32)
 
         if training:
+            from phc_gnn_tpu.ops import fused_bn as _fb
             from phc_gnn_tpu.ops.fused_bn import (FUSED_BN_VMEM_LIMIT,
-                                                  fused_masked_bn)
+                                                  fused_masked_bn,
+                                                  fused_masked_bn_blocked)
             fused = (self.stat_axis is None and not self.is_initializing()
+                     and not _fb.FUSED_BN_DISABLE
                      and (jax.default_backend() == "tpu"
-                          or _FORCE_FUSED_INTERPRET)
-                     and x.size * 4 <= FUSED_BN_VMEM_LIMIT)
+                          or _FORCE_FUSED_INTERPRET))
             if fused:
-                # single-block Pallas kernel: stats + normalize in one HBM
-                # read + write, analytic VJP (ops/fused_bn.py)
+                # Pallas kernels (ops/fused_bn.py): the single-block form
+                # (stats + normalize in one HBM read + write, analytic VJP)
+                # while x fits VMEM; the grid-blocked Chan-combine form
+                # (2R+1W fwd) for anything larger (e.g. pcba's 4096 x 512)
                 flat = x.reshape(x.shape[0], -1)
-                y, mean, var = fused_masked_bn(
+                kernel = (fused_masked_bn
+                          if x.size * 4 <= FUSED_BN_VMEM_LIMIT
+                          else fused_masked_bn_blocked)
+                y, mean, var = kernel(
                     flat, mask, scale.reshape(-1), bias.reshape(-1), self.eps,
                     interpret=_FORCE_FUSED_INTERPRET)
                 y = y.reshape(x.shape)

@@ -29,8 +29,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_masked_bn", "FUSED_BN_VMEM_LIMIT"]
+__all__ = ["fused_masked_bn", "fused_masked_bn_blocked",
+           "FUSED_BN_VMEM_LIMIT", "BLOCKED_BN_ROWS"]
 
 # single-block kernel gate, in bytes of x.  The BACKWARD block must hold
 # x, g, dx and an xhat-sized temporary simultaneously (~4x the gate) within
@@ -39,6 +41,10 @@ __all__ = ["fused_masked_bn", "FUSED_BN_VMEM_LIMIT"]
 # XLA path rather than risking a Mosaic VMEM allocation failure.  A
 # grid-blocked variant would lift this.
 FUSED_BN_VMEM_LIMIT = 3_500_000
+
+# kill switch for A/B benches: when True the norm layer uses the two-pass XLA
+# path regardless of size (scripts/bench_fused_bn.py)
+FUSED_BN_DISABLE = False
 
 
 def _bn_fwd_kernel(x_ref, mask_ref, scale_ref, bias_ref, eps_ref,
@@ -134,4 +140,182 @@ def fused_masked_bn(x, mask, scale, bias, eps: float = 1e-5,
     eps_arr = jnp.full((1, 1), eps, jnp.float32)
     y, mean, var = _fused_bn(interpret, x.astype(jnp.float32), mask_f,
                              scale2, bias2, eps_arr)
+    return y, mean.reshape(d), var.reshape(d)
+
+
+# --------------------------------------------------- grid-blocked variant
+# For inputs past FUSED_BN_VMEM_LIMIT (e.g. the pcba config's 4096 x 512 f32
+# = 8 MB) the single-block kernel cannot hold x (+g, dx in the backward) in
+# VMEM.  The blocked form streams row blocks through a sequential grid:
+#
+#   fwd:  one Pallas sweep accumulating (cnt, mean, M2) per lane via Chan's
+#         parallel-variance combine (numerically stable — no E[x^2]-E[x]^2
+#         cancellation), then one XLA elementwise normalize.
+#         HBM traffic 2R + 1W vs the two-pass XLA form's 3R + 1W.
+#   bwd:  one Pallas sweep accumulating sum(g) and sum(g*xhat) over ALL rows
+#         (autodiff semantics — see the module docstring), then one XLA
+#         elementwise dx.  4R + 1W vs autodiff's ~6R + 1W.
+
+BLOCKED_BN_ROWS = 512  # rows per grid step; block bytes = 4*rows*D
+
+
+def _bn_stats_blocked_kernel(x_ref, mask_ref, out_ref, cnt_ref, acc):
+    """Sequential-grid Chan combine.  acc rows: 0=cnt (lane-bcast), 1=mean,
+    2=M2.  Final block writes mean/biased-var to out_ref [2, D], cnt to
+    cnt_ref [1, 1]."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    m = mask_ref[...]  # [BN, 1]
+    c_b = jnp.sum(m)
+    safe_cb = jnp.maximum(c_b, 1.0)
+    mean_b = jnp.sum(x * m, axis=0, keepdims=True) / safe_cb
+    xc = (x - mean_b) * m
+    m2_b = jnp.sum(xc * xc, axis=0, keepdims=True)
+
+    c = acc[0:1, :]
+    mean = acc[1:2, :]
+    m2 = acc[2:3, :]
+    c_new = c + c_b
+    safe = jnp.maximum(c_new, 1.0)
+    delta = mean_b - mean
+    # all-masked blocks (c_b = 0) contribute delta * 0 — exact no-ops
+    mean_new = mean + delta * (c_b / safe)
+    m2_new = m2 + m2_b + delta * delta * (c * c_b / safe)
+    acc[0:1, :] = c_new
+    acc[1:2, :] = mean_new
+    acc[2:3, :] = m2_new
+
+    @pl.when(b == nb - 1)
+    def _():
+        cnt = jnp.maximum(acc[0:1, 0:1], 1.0)
+        out_ref[0:1, :] = acc[1:2, :]
+        out_ref[1:2, :] = acc[2:3, :] / jnp.maximum(acc[0:1, :], 1.0)
+        cnt_ref[...] = cnt
+
+
+def _bn_bwd_sums_blocked_kernel(x_ref, g_ref, mean_ref, var_ref, eps_ref,
+                                out_ref, acc):
+    """Sequential-grid accumulation of sum(g) and sum(g * xhat) over ALL
+    rows (wrapper-padded rows carry g = 0)."""
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(b == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    r = jax.lax.rsqrt(var_ref[...] + eps_ref[0, 0])
+    xhat = (x - mean_ref[...]) * r
+    acc[0:1, :] += jnp.sum(g, axis=0, keepdims=True)
+    acc[1:2, :] += jnp.sum(g * xhat, axis=0, keepdims=True)
+
+    @pl.when(b == nb - 1)
+    def _():
+        out_ref[...] = acc[0:2, :]
+
+
+def _pad_block_rows(a, rows):
+    n = a.shape[0]
+    pad = (-n) % rows
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+    return a
+
+
+def _call_stats_blocked(x, mask_f, interpret, rows=BLOCKED_BN_ROWS):
+    n, d = x.shape
+    xp = _pad_block_rows(x, rows)
+    mp = _pad_block_rows(mask_f, rows)  # padding rows: mask 0
+    nb = xp.shape[0] // rows
+    out, cnt = pl.pallas_call(
+        _bn_stats_blocked_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((rows, d), lambda b: (b, 0)),
+                  pl.BlockSpec((rows, 1), lambda b: (b, 0))],
+        out_specs=[pl.BlockSpec((2, d), lambda b: (0, 0)),
+                   pl.BlockSpec((1, 1), lambda b: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((2, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+        interpret=interpret,
+    )(xp, mp)
+    return out[0:1, :], out[1:2, :], cnt
+
+
+def _call_bwd_sums_blocked(x, g, mean, var, eps, interpret,
+                           rows=BLOCKED_BN_ROWS):
+    n, d = x.shape
+    xp = _pad_block_rows(x, rows)
+    gp = _pad_block_rows(g, rows)  # zero-padded: sums over ALL real rows
+    nb = xp.shape[0] // rows
+    out = pl.pallas_call(
+        _bn_bwd_sums_blocked_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((rows, d), lambda b: (b, 0)),
+                  pl.BlockSpec((rows, d), lambda b: (b, 0)),
+                  pl.BlockSpec((1, d), lambda b: (0, 0)),
+                  pl.BlockSpec((1, d), lambda b: (0, 0)),
+                  pl.BlockSpec((1, 1), lambda b: (0, 0))],
+        out_specs=pl.BlockSpec((2, d), lambda b: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+        interpret=interpret,
+    )(xp, gp, mean, var, eps)
+    return out[0:1, :], out[1:2, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_bn_blocked(interpret, x, mask_f, scale, bias, eps):
+    y, mean, var, _ = _fused_bn_blocked_parts(interpret, x, mask_f, scale,
+                                              bias, eps)
+    return y, mean, var
+
+
+def _fused_bn_blocked_parts(interpret, x, mask_f, scale, bias, eps):
+    mean, var, cnt = _call_stats_blocked(x, mask_f, interpret)
+    r = jax.lax.rsqrt(var + eps[0, 0])
+    y = (x - mean) * r * scale + bias  # one fused XLA elementwise pass
+    return y, mean, var, cnt
+
+
+def _fused_bn_blocked_fwd(interpret, x, mask_f, scale, bias, eps):
+    y, mean, var, cnt = _fused_bn_blocked_parts(interpret, x, mask_f, scale,
+                                                bias, eps)
+    return (y, mean, var), (x, mask_f, scale, mean, var, cnt, eps)
+
+
+def _fused_bn_blocked_bwd(interpret, res, cts):
+    x, mask_f, scale, mean, var, cnt, eps = res
+    g, _, _ = cts  # mean/var outputs are detached (see _fused_bn)
+    sum_g, sum_gx = _call_bwd_sums_blocked(x, g, mean, var, eps, interpret)
+    r = jax.lax.rsqrt(var + eps[0, 0])
+    xhat = (x - mean) * r
+    dx = scale * r * (g - mask_f * (sum_g + xhat * sum_gx) / cnt)
+    return (dx, None, sum_gx, sum_g, None)
+
+
+_fused_bn_blocked.defvjp(_fused_bn_blocked_fwd, _fused_bn_blocked_bwd)
+
+
+def fused_masked_bn_blocked(x, mask, scale, bias, eps: float = 1e-5,
+                            interpret: bool = False):
+    """Grid-blocked fused masked BN for inputs past FUSED_BN_VMEM_LIMIT
+    (same contract as fused_masked_bn; any [N, D] size)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    n, d = x.shape
+    mask_f = (jnp.ones((n, 1), jnp.float32) if mask is None
+              else mask.reshape(n, 1).astype(jnp.float32))
+    scale2 = scale.reshape(1, d).astype(jnp.float32)
+    bias2 = bias.reshape(1, d).astype(jnp.float32)
+    eps_arr = jnp.full((1, 1), eps, jnp.float32)
+    y, mean, var = _fused_bn_blocked(interpret, x.astype(jnp.float32),
+                                     mask_f, scale2, bias2, eps_arr)
     return y, mean.reshape(d), var.reshape(d)

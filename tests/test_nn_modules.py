@@ -431,3 +431,85 @@ def test_norm_running_stats_fused_path_matches_xla_path():
     np.testing.assert_allclose(np.asarray(up1["batch_stats"]["bn"]["var"]),
                                1.0 + 0.1 * (xm.var(0, ddof=1) - 1.0),
                                rtol=1e-4)
+
+
+def test_fused_bn_blocked_matches_two_pass_and_grads():
+    """Grid-blocked fused BN (Chan combine, ops/fused_bn.py) vs the two-pass
+    oracle: values, stats, and all three grads, across block boundaries and
+    with a ragged final block (N % BLOCKED_BN_ROWS != 0)."""
+    import jax
+    import jax.numpy as jnp
+    from phc_gnn_tpu.ops.fused_bn import fused_masked_bn_blocked
+
+    rng = np.random.default_rng(5)
+    N, D = 1100, 24  # 3 blocks of 512, last one ragged
+    x = jnp.asarray(rng.normal(size=(N, D)) * 2 + 3, jnp.float32)
+    mask = jnp.asarray(rng.random(N) > 0.25)
+    scale = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+
+    def two_pass(x, s, b):
+        m = mask[:, None].astype(jnp.float32)
+        cnt = jnp.maximum(m.sum(), 1.0)
+        mu = (x * m).sum(0) / cnt
+        xc = (x - mu) * m
+        var = (xc * xc).sum(0) / cnt
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * s + b, mu, var
+
+    y1, m1, v1 = fused_masked_bn_blocked(x, mask, scale, bias)
+    y2, m2, v2 = two_pass(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4,
+                               atol=1e-5)
+
+    w = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    f1 = lambda *a: jnp.sum(
+        fused_masked_bn_blocked(a[0], mask, a[1], a[2])[0] * w)
+    f2 = lambda *a: jnp.sum(two_pass(*a)[0] * w)
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)
+
+    # an all-masked block boundary case: rows 512..1024 fully masked
+    mask2 = np.asarray(mask).copy()
+    mask2[512:1024] = False
+    mask = jnp.asarray(mask2)
+    y1, m1, v1 = fused_masked_bn_blocked(x, mask, scale, bias)
+    y2, m2, v2 = two_pass(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_norm_dispatches_blocked_bn_past_vmem_limit():
+    """_BatchNorm must route pcba-width inputs (past FUSED_BN_VMEM_LIMIT) to
+    the grid-blocked kernel and still match the XLA path bit-for-tolerance."""
+    import phc_gnn_tpu.nn.norm as norm_mod
+    from phc_gnn_tpu.ops.fused_bn import FUSED_BN_VMEM_LIMIT
+
+    n, d, batch = 4, 512, 2048  # 4 MB < 8 MB pcba but > 3.5 MB limit
+    assert batch * n * d * 4 > FUSED_BN_VMEM_LIMIT
+    norm = PHMNorm(num_features=n * d, phm_dim=n,
+                   norm_type="naive-naive-batch-norm")
+    x = jax.random.normal(jax.random.key(0), (batch, n * d)) * 2 + 3
+    mask = jax.random.uniform(jax.random.key(3), (batch,)) > 0.3
+    variables = norm.init(jax.random.key(1), x, training=True, mask=mask)
+    y0, up0 = norm.apply(variables, x, training=True, mask=mask,
+                         mutable=["batch_stats"])
+    norm_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        y1, up1 = norm.apply(variables, x, training=True, mask=mask,
+                             mutable=["batch_stats"])
+    finally:
+        norm_mod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(up1["batch_stats"]["bn"][k]),
+                                   np.asarray(up0["batch_stats"]["bn"][k]),
+                                   rtol=1e-5, atol=1e-6)
