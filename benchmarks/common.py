@@ -83,6 +83,10 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--max_nodes", type=int, default=None)
     p.add_argument("--max_edges", type=int, default=None)
+    p.add_argument("--sub_buckets", type=int, default=1,
+                   help="bucket-ladder depth: keep this many halving bucket "
+                   "sizes and emit each batch at the smallest that fits "
+                   "(cuts padding waste; composes with --dp)")
     # model topology
     p.add_argument("--type", dest="model_type", type=str,
                    default=cfg.model_type, choices=["add", "concat"])
@@ -278,7 +282,8 @@ def run_benchmark(dataset: str, argv=None):
 
     def train_batches(seed):
         return PaddedLoader(splits["train"], bucket, shuffle=True, seed=seed,
-                            transform=transform, scan_plan=use_scan)
+                            transform=transform, scan_plan=use_scan,
+                            sub_buckets=cfg.sub_buckets)
 
     def valid_batches():
         return PaddedLoader(splits["valid"], eval_bucket, transform=transform,

@@ -28,6 +28,8 @@ class ExperimentConfig:
     # padding bucket sizes (TPU-specific; None = auto from dataset stats)
     max_nodes: Optional[int] = None
     max_edges: Optional[int] = None
+    sub_buckets: int = 1  # bucket-ladder depth (data/loader.py): halving
+    # node/edge budgets, each batch emitted at the smallest bucket it fits
 
     # model topology
     model_type: str = "add"        # add | concat  (PHMSkipConnect*)

@@ -224,29 +224,31 @@ class Trainer:
         return jax.device_put(tree, replicated(self.mesh))
 
     def _dp_groups(self, batches: Iterable[GraphsTuple]):
-        """Group consecutive batches into device-groups of dp; the last
-        partial group is padded with fully-masked dummy batches (zero loss
-        weight — exact, no data dropped).  Yields (real_batches, group)."""
+        """Group batches into device-groups of dp; a group's members must
+        share leaf shapes (they are jnp.stack'ed), so a bucket-ladder loader's
+        mixed bucket sizes are queued into per-shape sub-queues and flushed
+        per key (dp composes with the padding-waste mitigation, VERDICT r2
+        #6).  Epoch-end partial groups are padded with fully-masked dummy
+        batches (zero loss weight — exact, no data dropped).  Yields
+        (real_batches, group)."""
         from phc_gnn_tpu.parallel import make_dummy_batch
         def shapes(b):
             return (jax.tree_util.tree_structure(b),
                     tuple(l.shape for l in jax.tree_util.tree_leaves(b)))
 
-        group: List[GraphsTuple] = []
+        queues: dict = {}  # shape key -> pending batches (insertion ordered)
         for batch in batches:
-            # structure AND leaf shapes: a bucket-ladder loader emits
-            # same-structure batches with different padded sizes, which would
-            # otherwise fail deep inside stack_batches' jnp.stack
-            if group and shapes(batch) != shapes(group[0]):
-                raise ValueError("dp grouping needs uniform batch shapes; "
-                                 "use a single bucket shape (sub_buckets=1)")
+            group = queues.setdefault(shapes(batch), [])
             group.append(batch)
             if len(group) == self.dp:
-                yield group, group
-                group = []
-        if group:
-            full = group + [make_dummy_batch(group[0])] * (self.dp - len(group))
-            yield group, full
+                full = list(group)
+                group.clear()
+                yield full, full
+        for group in queues.values():
+            if group:
+                full = group + [make_dummy_batch(group[0])] * (
+                    self.dp - len(group))
+                yield group, full
 
     def _partition(self, batch: GraphsTuple) -> GraphsTuple:
         """Shard one batch over ep.  Halo mode keeps the per-shard edge/halo
