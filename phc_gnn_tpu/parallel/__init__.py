@@ -13,14 +13,18 @@ from phc_gnn_tpu.parallel.dp import (
 from phc_gnn_tpu.parallel.edge_partition import (
     edge_partition_specs,
     make_dp_ep_batch_specs,
+    make_dp_ep_eval_step,
     make_dp_ep_train_step,
+    make_ep_eval_step,
     make_ep_train_step,
     partition_edges,
 )
 from phc_gnn_tpu.parallel.halo import (
     halo_exchange,
     make_dp_np_batch_specs,
+    make_dp_np_eval_step,
     make_dp_np_train_step,
+    make_np_eval_step,
     make_np_train_step,
     node_partition_specs,
     partition_nodes,

@@ -30,8 +30,9 @@ from phc_gnn_tpu.graph.batch import GraphsTuple
 from phc_gnn_tpu.parallel.dp import loss_weight, weighted_mean
 from phc_gnn_tpu.train.state import TrainState, apply_optimizer, make_loss_and_aux
 
-__all__ = ["partition_edges", "make_ep_train_step", "edge_partition_specs",
-           "make_dp_ep_train_step", "make_dp_ep_batch_specs"]
+__all__ = ["partition_edges", "make_ep_train_step", "make_ep_eval_step",
+           "edge_partition_specs", "make_dp_ep_train_step",
+           "make_dp_ep_eval_step", "make_dp_ep_batch_specs"]
 
 
 def partition_edges(batch: GraphsTuple, num_shards: int) -> GraphsTuple:
@@ -116,6 +117,51 @@ def make_ep_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
         return new_state, loss, out
 
     return _jit_y_dispatch(device_step, mesh, edge_partition_specs, donate)
+
+
+def _jit_eval_y_dispatch(device_step, mesh, specs_fn, out_spec=P()):
+    """Eval twin of _jit_y_dispatch: no lr arg, no state update, no donation."""
+    step_y = shard_map(device_step, mesh=mesh,
+                       in_specs=(P(), specs_fn(True)),
+                       out_specs=out_spec, check_vma=False)
+    step_no_y = shard_map(device_step, mesh=mesh,
+                          in_specs=(P(), specs_fn(False)),
+                          out_specs=out_spec, check_vma=False)
+
+    def dispatch(state, batch):
+        step = step_y if batch.y is not None else step_no_y
+        return step(state, batch)
+
+    return jax.jit(dispatch)
+
+
+def make_ep_eval_step(model, mesh: Mesh):
+    """Edge-partitioned eval over ``ep``: node compute replicated, segment
+    reductions combine the local edge shards via the collectives inside
+    graph/segment.py; output identical on every shard.  The model must be
+    built with ``edge_axis='ep'``."""
+
+    def device_step(state: TrainState, batch: GraphsTuple):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, training=False)
+
+    return _jit_eval_y_dispatch(device_step, mesh, edge_partition_specs)
+
+
+def make_dp_ep_eval_step(model, mesh: Mesh):
+    """Combined data + edge-partitioned eval over a (dp, ep) mesh; returns
+    outs [dp, G, T]."""
+
+    def device_step(state: TrainState, batch: GraphsTuple):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # drop dp axis
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, training=False)
+        return out[None]
+
+    return _jit_eval_y_dispatch(device_step, mesh, make_dp_ep_batch_specs,
+                                out_spec=P("dp"))
 
 
 def make_dp_ep_batch_specs(has_y: bool = True) -> GraphsTuple:

