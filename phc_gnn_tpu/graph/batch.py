@@ -53,6 +53,13 @@ class GraphsTuple:
     # set, ``senders`` index the augmented [NS + S*H] local+halo feature array
     # and ``receivers`` are shard-local
     halo_send: Optional[jax.Array] = None    # [S, H] i32 local rows per peer
+    # sender-sorted plan (ops/stream_scan.py build_sender_plan): turns the
+    # message gather's backward scatter dx[senders] += g into a streamed
+    # segment-sum over sorted senders (the >=16k gather-locality fix)
+    snd_perm: Optional[jax.Array] = None     # [E_pad] i32 sort-by-sender perm
+    snd_flags: Optional[jax.Array] = None    # [EB, 1] f32 segment starts
+    snd_cont: Optional[jax.Array] = None     # [NB] i32 continuation bits
+    snd_last: Optional[jax.Array] = None     # [N_src] i32 last sorted edge/-1
 
     @property
     def num_nodes(self) -> int:

