@@ -2,7 +2,12 @@
 (VERDICT r2 #4): flagship train step at 1x/4x/8x bucket sizes with the
 message-gather backward as XLA scatter (no sender plan) vs streamed
 segment-sum (sender plan attached).  Reports ms/step and ns/real-edge; the
-cliff shows as superlinear ns/edge growth."""
+cliff shows as superlinear ns/edge growth.  Steps run inside one jitted
+lax.scan (per-step dispatch through the tunnel would swamp the slope).
+
+Usage: python scripts/bench_gather_cliff.py [mult ...]   (default: 1 4 8)
+"""
+import functools
 import sys
 import time
 
@@ -24,44 +29,45 @@ model = PHCGNN(
     downstream_layers=(DIM, DIM // 2), target_dim=1, dropout_dn=(0.2, 0.1),
     msg_aggr="softmax", mlp_mp=True, sc_type="last")
 tx = make_optimizer(1e-3, grad_clip=2.0)
-loss_fn = lambda out, b: masked_l1(out, b.y)  # noqa: E731
+step = make_train_step(model, tx, lambda out, b: masked_l1(out, b.y),
+                       weight_decay=0.1, donate=False)
+lr = jnp.float32(1e-3)
 
 
-def slope_steps(state, batch, step, n1=10, n2=60, reps=3):
-    lr = jnp.float32(1e-3)
+@functools.partial(jax.jit, static_argnums=(2,))
+def steps(state, batch, k):
+    def body(s, _):
+        s, loss, _ = step(s, batch, lr)
+        return s, loss
 
-    def run(n):
-        s = jax.tree_util.tree_map(jnp.copy, state)
-        t0 = None
-        for i in range(n):
-            s, loss, _ = step(s, batch, lr)
-        return loss
+    _, losses = jax.lax.scan(body, state, None, length=k)
+    return jnp.sum(losses)
 
-    # warm up / compile
-    jax.block_until_ready(run(2))
 
-    def t(n):
+def slope(state, batch, k1=10, k2=60):
+    def timed(k):
+        float(steps(state, batch, k))  # compile + warm
         best = 1e9
-        for _ in range(reps):
+        for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(n))
+            float(steps(state, batch, k))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (t(n2) - t(n1)) / (n2 - n1)
+    return (timed(k2) - timed(k1)) / (k2 - k1)
 
 
-for mult in (1, 4, 8):
+mults = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+for mult in mults:
     nn_, ee = 4096 * mult, 8192 * mult
     batch = synthetic_batch(batch_size=128 * mult, num_nodes=nn_,
                             num_edges=ee, seed=0)
     real_edges = int(batch.count_edges())
     for sender_plan in (False, True):
         b = attach_scan_plan(batch, sender_plan=sender_plan)
-        state = create_train_state(model, tx, b, jax.random.key(0))
-        step = make_train_step(model, tx, loss_fn, weight_decay=0.1,
-                               weight_decay2=0.01, donate=False)
-        dt = slope_steps(state, b, step)
+        state = create_train_state(model, tx, b, jax.random.key(0, impl="rbg"),
+                                   init_rng=jax.random.key(0))
+        dt = slope(state, b)
         print(f"nodes {nn_:6d} edges {ee:6d} sender_plan={int(sender_plan)} "
               f"step {dt * 1e3:7.3f} ms  {dt / real_edges * 1e9:6.1f} ns/edge",
               flush=True)
