@@ -140,6 +140,11 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--max_time", dest="max_time_hours", type=float,
                    default=cfg.max_time_hours)
     p.add_argument("--scan_chunk", type=int, default=getattr(cfg, "scan_chunk", 0))
+    p.add_argument("--grad_accum", type=int,
+                   default=getattr(cfg, "grad_accum", 1),
+                   help="accumulate exact weighted grads over K same-shape "
+                        "sub-batches before one optimizer step (keeps large "
+                        "logical batches inside VMEM-sized gather tables)")
     # multi-chip (TPU-native; no reference counterpart)
     p.add_argument("--dp", type=int, default=cfg.dp,
                    help="data-parallel mesh axis (devices)")

@@ -13,6 +13,7 @@ from phc_gnn_tpu.train.optim import ReduceLROnPlateau, make_optimizer
 from phc_gnn_tpu.train.state import (
     TrainState,
     create_train_state,
+    make_accum_train_step,
     make_eval_step,
     make_scan_train_steps,
     make_train_step,

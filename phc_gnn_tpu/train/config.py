@@ -98,6 +98,12 @@ class ExperimentConfig:
                                    # param-init keys always stay threefry)
                                    # | threefry2x32 (jax default)
     num_devices: int = 1           # deprecated alias; use dp
+    grad_accum: int = 1            # >1: accumulate exact weighted grads over
+                                   # K same-shape sub-batches, one optimizer
+                                   # step (dp over time — keeps big logical
+                                   # batches, e.g. pcba's 512 graphs, inside
+                                   # VMEM-sized gather tables; KERNELS.md
+                                   # round-3 cliff analysis)
     scan_chunk: int = 0            # >0: scan this many same-shape train steps
                                    # inside one jit call (kills dispatch overhead)
     prefetch_depth: int = 2        # background-prefetched batches (0 = off)

@@ -22,6 +22,7 @@ from phc_gnn_tpu.nn.regularization import (
 )
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_accum_train_step",
            "make_eval_step", "make_scan_train_steps", "make_scan_eval_steps",
            "make_loss_and_aux",
            "apply_optimizer"]
@@ -110,6 +111,63 @@ def make_eval_step(model):
             batch, training=False)
 
     return jax.jit(step)
+
+
+def make_accum_train_step(model, tx, loss_fn: Callable,
+                          weight_decay: float = 0.0, weight_decay2: float = 0.0,
+                          reg_p: int = 2, donate: bool = True,
+                          loss_name: str = "l1"):
+    """Gradient accumulation: ONE optimizer step from the exact load-weighted
+    mean gradient of K same-shape sub-batches (stacked on a leading axis).
+
+    This is data parallelism over time — the same weighted combination as
+    parallel/dp.py (a fully-masked dummy pad sub-batch contributes nothing) —
+    and the single-chip answer to very large logical batches: pcba's
+    512-graph batch runs as K VMEM-friendly sub-batches instead of one
+    16k-node batch whose node-table gathers fall off XLA's fast path
+    (KERNELS.md round-3 cliff analysis).  Returns (state, loss, outs [K, G, T]).
+    """
+    from phc_gnn_tpu.parallel.dp import loss_weight
+
+    def step(state: TrainState, batches: GraphsTuple, lr: jax.Array):
+        base_rng = jax.random.fold_in(state.rng, state.step)
+
+        def body(carry, pair):
+            i, batch = pair
+            gsum, lsum, wsum, ssum, bsum = carry
+            rng = jax.random.fold_in(base_rng, i)
+            loss_and_aux = make_loss_and_aux(
+                model, loss_fn, weight_decay, weight_decay2, reg_p,
+                state.batch_stats, batch, rng, lr)
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_and_aux, has_aux=True)(state.params)
+            w = loss_weight(batch, loss_name)
+            w_bn = jnp.sum(batch.node_mask).astype(jnp.float32)
+            gsum = jax.tree_util.tree_map(lambda a, g: a + w * g, gsum, grads)
+            ssum = jax.tree_util.tree_map(lambda a, s: a + w_bn * s, ssum,
+                                          new_stats)
+            return (gsum, lsum + w * loss, wsum + w, ssum, bsum + w_bn), out
+
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zeros_s = jax.tree_util.tree_map(
+            lambda s: jnp.zeros_like(s, dtype=jnp.float32), state.batch_stats)
+        carry0 = (zeros_g, jnp.zeros(()), jnp.zeros(()), zeros_s,
+                  jnp.zeros(()))
+        (gsum, lsum, wsum, ssum, bsum), outs = jax.lax.scan(
+            body, carry0, (jnp.arange(k), batches))
+        wsum = jnp.maximum(wsum, 1e-9)
+        bsum = jnp.maximum(bsum, 1e-9)
+        grads = jax.tree_util.tree_map(lambda g: g / wsum, gsum)
+        loss = lsum / wsum
+        new_stats = jax.tree_util.tree_map(lambda s: s / bsum, ssum)
+        new_params, new_opt_state = apply_optimizer(tx, grads, state, lr)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, loss, outs
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_scan_train_steps(model, tx, loss_fn: Callable,

@@ -171,6 +171,8 @@ class Trainer:
         self.mesh = None
         self.dp_eval_step = None
         self.ep_eval_step = None
+        self.accum = 1
+        self.accum_step = None
         self._np_slots = (None, None)  # halo partition rungs (edge, halo)
         self.scan_steps = None
         self.scan_eval = None
@@ -204,6 +206,8 @@ class Trainer:
                 make_np_train_step,
             )
             assert self.ep_scheme in ("halo", "replicated"), self.ep_scheme
+            if int(getattr(cfg, "grad_accum", 1) or 1) > 1:
+                log.info("grad_accum is single-device; ignored under dp/ep")
             self.mesh = make_mesh(dp=self.dp, ep=self.ep)
             halo = self.ep_scheme == "halo"
             if self.ep > 1:
@@ -265,7 +269,15 @@ class Trainer:
             self.train_step = make_train_step(
                 model, self.tx, self.loss_fn, cfg.weightdecay, cfg.weightdecay2,
                 cfg.regularization)
-            if getattr(cfg, "scan_chunk", 0):
+            self.accum = int(getattr(cfg, "grad_accum", 1) or 1)
+            if self.accum > 1:
+                from phc_gnn_tpu.train.state import make_accum_train_step
+                self.accum_step = make_accum_train_step(
+                    model, self.tx, self.loss_fn, cfg.weightdecay,
+                    cfg.weightdecay2, cfg.regularization, loss_name=cfg.loss)
+                if getattr(cfg, "scan_chunk", 0):
+                    log.info("scan_chunk is ignored under grad_accum")
+            elif getattr(cfg, "scan_chunk", 0):
                 from phc_gnn_tpu.train.state import (make_scan_eval_steps,
                                                      make_scan_train_steps)
                 self.scan_steps = make_scan_train_steps(
@@ -284,14 +296,15 @@ class Trainer:
         from phc_gnn_tpu.parallel.mesh import replicated
         return jax.device_put(tree, replicated(self.mesh))
 
-    def _dp_groups(self, batches: Iterable[GraphsTuple]):
-        """Group batches into device-groups of dp; a group's members must
+    def _groups(self, batches: Iterable[GraphsTuple], size: int):
+        """Group batches into groups of ``size``; a group's members must
         share leaf shapes (they are jnp.stack'ed), so a bucket-ladder loader's
         mixed bucket sizes are queued into per-shape sub-queues and flushed
-        per key (dp composes with the padding-waste mitigation, VERDICT r2
-        #6).  Epoch-end partial groups are padded with fully-masked dummy
+        per key (grouping composes with the padding-waste mitigation, VERDICT
+        r2 #6).  Epoch-end partial groups are padded with fully-masked dummy
         batches (zero loss weight — exact, no data dropped).  Yields
-        (real_batches, group)."""
+        (real_batches, group).  Used for dp device-groups and grad_accum
+        sub-batch groups alike (same weighted-combination semantics)."""
         from phc_gnn_tpu.parallel import make_dummy_batch
         def shapes(b):
             return (jax.tree_util.tree_structure(b),
@@ -301,15 +314,18 @@ class Trainer:
         for batch in batches:
             group = queues.setdefault(shapes(batch), [])
             group.append(batch)
-            if len(group) == self.dp:
+            if len(group) == size:
                 full = list(group)
                 group.clear()
                 yield full, full
         for group in queues.values():
             if group:
                 full = group + [make_dummy_batch(group[0])] * (
-                    self.dp - len(group))
+                    size - len(group))
                 yield group, full
+
+    def _dp_groups(self, batches: Iterable[GraphsTuple]):
+        return self._groups(batches, self.dp)
 
     def _partition(self, batch: GraphsTuple) -> GraphsTuple:
         """Shard one batch over ep.  Halo mode keeps the per-shard edge/halo
@@ -578,6 +594,16 @@ class Trainer:
             if self.mesh is not None:
                 state = self._parallel_train_epoch(state, batches_iter,
                                                    lr_dev, consume)
+            elif self.accum_step is not None:
+                # gradient accumulation: one optimizer step per K sub-batches
+                # (exact weighted-mean grads; dummy pads contribute nothing)
+                for real, group in self._groups(batches_iter, self.accum):
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *group)
+                    state, loss, outs = self.accum_step(state, stacked,
+                                                        lr_dev)
+                    for i, b in enumerate(real):
+                        consume(b, loss, outs[i])
             elif self.scan_steps is not None:
                 # group same-shape batches into chunks, one jit call per chunk
                 for chunk in iter_scan_chunks(batches_iter,

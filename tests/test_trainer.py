@@ -364,3 +364,68 @@ def test_resume_restores_scheduler_and_best(tmp_path):
     assert np.isfinite(res["best_val"])
     saved2 = _json.load(open(tmp_path / "exp" / "run_1" / "trainer_state.json"))
     assert saved2["lr"] == saved["lr"]
+
+
+def test_grad_accum_step_equals_dp_step():
+    """grad_accum is dp over time: one accumulated step over [b1, b2] must
+    equal the dp=2 step on the same pair (identical weighted-mean gradient,
+    loss, and BN-stat combination)."""
+    import optax
+    from phc_gnn_tpu.data import synthetic_batch
+    from phc_gnn_tpu.models import PHCGNN
+    from phc_gnn_tpu.parallel import make_dp_train_step, make_mesh, \
+        shard_batch, stack_batches
+    from phc_gnn_tpu.train.loss import masked_l1
+    from phc_gnn_tpu.train.state import create_train_state, \
+        make_accum_train_step
+
+    loss_fn = lambda out, b: masked_l1(out, b.y)  # noqa: E731
+    kw = dict(atom_input_dims=[28], atom_encoded_dim=16, bond_input_dims=[4],
+              mp_layers=(16, 16), downstream_layers=(16, 8), target_dim=1,
+              dropout_mpnn=(0.0, 0.0), dropout_dn=(0.0, 0.0))
+    model = PHCGNN(phm_dim=4, **kw)
+    b1 = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=1)
+    b2 = synthetic_batch(batch_size=6, num_nodes=160, num_edges=384, seed=2)
+    tx = optax.chain(optax.scale(-1.0))
+    state = create_train_state(model, tx, b1, jax.random.key(0))
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), b1, b2)
+    accum = make_accum_train_step(model, tx, loss_fn, donate=False,
+                                  loss_name="l1")
+    new_a, loss_a, outs_a = accum(state, stacked, jnp.float32(1e-3))
+    assert outs_a.shape[0] == 2
+
+    mesh = make_mesh(dp=2, ep=1)
+    dp_step = make_dp_train_step(model, tx, loss_fn, mesh, donate=False,
+                                 loss_name="l1")
+    new_d, loss_d, outs_d = dp_step(
+        state, shard_batch(stack_batches([b1, b2]), mesh), jnp.float32(1e-3))
+
+    np.testing.assert_allclose(float(loss_a), float(loss_d), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new_a.params),
+                    jax.tree_util.tree_leaves(new_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(new_a.batch_stats),
+                    jax.tree_util.tree_leaves(new_d.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_grad_accum_cli_converges(tmp_path):
+    import json
+    import os
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    from common import run_benchmark
+    save = str(tmp_path / "syn")
+    run_benchmark("synthetic", [
+        "--input_embed_dim", "16", "--mp_units", "16,16", "--d_units", "16,8",
+        "--batch_size", "8", "--n_runs", "1", "--seed", "0",
+        "--dropout_mpnn", "0.0,0.0", "--dropout_dn", "0.0,0.0",
+        "--grad_accum", "2", "--epochs", "3", "--save_dir", save])
+    rows = [json.loads(l) for l in
+            open(os.path.join(save, "run_1", "scalars.jsonl"))]
+    assert len(rows) == 3
+    assert rows[-1]["train_loss"] < rows[0]["train_loss"]
