@@ -208,7 +208,8 @@ def test_dp_groups_compose_with_bucket_ladder():
     # shapes A, B, A, B, A  (two bucket rungs interleaved)
     stream = [mk(128, 256, 0), mk(112, 224, 1), mk(128, 256, 2),
               mk(112, 224, 3), mk(128, 256, 4)]
-    self = type("T", (), {"dp": 2})()  # _dp_groups only reads self.dp
+    # _dp_groups reads self.dp and delegates to the shared self._groups
+    self = type("T", (), {"dp": 2, "_groups": Trainer._groups})()
     out = list(Trainer._dp_groups(self, iter(stream)))
     assert len(out) == 3
     for real, group in out:
