@@ -79,6 +79,9 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--n_runs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_weights", type=str2bool, default=False)
+    p.add_argument("--init_from", type=str, default="",
+                   help="warm-start params from a pickled pytree (e.g. "
+                        "weights transplanted from the torch reference)")
     p.add_argument("--batch_size", type=int, default=cfg.batch_size)
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--max_nodes", type=int, default=None)

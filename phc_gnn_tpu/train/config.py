@@ -21,6 +21,10 @@ class ExperimentConfig:
     n_runs: int = 1
     seed: int = 0
     log_weights: bool = False
+    init_from: str = ""            # warm-start: path to a pickled params
+                                   # pytree (e.g. weights transplanted from
+                                   # the torch reference for convergence
+                                   # parity, scripts/run_convergence_parity.py)
 
     # device/data
     batch_size: int = 128

@@ -482,6 +482,20 @@ class Trainer:
         state = self._place(create_train_state(
             self.model, self.tx, sample, rng,
             init_rng=jax.random.key(seed)))
+        if getattr(cfg, "init_from", ""):
+            # warm start: replace the fresh init with a pickled params pytree
+            # (same treedef/shapes); optimizer state is re-derived from it
+            import pickle
+            with open(cfg.init_from, "rb") as f:
+                loaded = pickle.load(f)
+            loaded = jax.tree_util.tree_map(jnp.asarray, loaded)
+            chex_shapes = jax.tree_util.tree_map(
+                lambda a, b: a.shape == b.shape, state.params, loaded)
+            assert all(jax.tree_util.tree_leaves(chex_shapes)), \
+                "init_from params shapes do not match the model"
+            state = self._place(state.replace(
+                params=loaded, opt_state=self.tx.init(loaded)))
+            log.info("warm-started params from %s", cfg.init_from)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         log.info("run %d: %d params, seed %d", run_idx, n_params, seed)
 

@@ -1,1 +1,1 @@
-from . import utils  # noqa: F401
+from . import graphproppred, utils  # noqa: F401

@@ -2,4 +2,4 @@
 run the reference's model classes (/root/reference/phc/*/undirectional/) as
 parity oracles on CPU.  Not a PyG reimplementation."""
 
-from . import data, nn, typing, utils  # noqa: F401
+from . import data, datasets, nn, transforms, typing, utils  # noqa: F401
