@@ -238,32 +238,6 @@ def _scan_kernel_pair(cont_ref, flags_ref, vals_ref, vals2_ref, out_ref,
                  vals2_ref, out2_ref)
 
 
-def _softmax_scan_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, smax_ref,
-                         mask_ref, out_ref, out2_ref, carry, carry2):
-    """Fused softmax-numerator/denominator scan: computes
-    w = exp(beta*m - segmax_e) * mask in VMEM and jointly scans [w*m, w] —
-    the w and w*m streams never round-trip through HBM.
-
-    Masking happens on the LOGITS (masked -> -1e30) like the XLA composite
-    (graph/aggregators.py): masking after exp would turn a masked edge whose
-    logit exceeds its segment max by ~88 nats into exp->inf, inf*0 = NaN."""
-    m = msgs_ref[...].astype(jnp.float32)
-    logit = jnp.where(mask_ref[...] > 0, beta_ref[0] * m, _NEG)
-    w = jnp.exp(logit - smax_ref[...])
-    _scan_core(cont_ref, flags_ref, w * m, w, out_ref, out2_ref, carry,
-               carry2, "add")
-
-
-def _softmax_max_kernel(cont_ref, beta_ref, flags_ref, msgs_ref, mask_ref,
-                        out_ref, carry):
-    """Max pass with the logit prep fused in: where(mask, beta*m, -1e30)
-    computed in VMEM — the masked-logit stream never materializes in HBM."""
-    v = jnp.where(mask_ref[...] > 0,
-                  beta_ref[0] * msgs_ref[...].astype(jnp.float32), _NEG)
-    _scan_core(cont_ref, flags_ref, v, None, out_ref, None, carry, None,
-               "max")
-
-
 def _suffix_max_core(carry_gate, eflags, v, out_ref, carry):
     """Segmented inclusive SUFFIX max of one block, processed on a REVERSED
     grid (later blocks first).  ``eflags`` [BE, 1] mark segment-END rows
@@ -418,33 +392,6 @@ def _segmented_scan_softmax_fused(msgs, suffmax, mask, beta, flags, cont,
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
-def _segmented_scan_softmax_max(msgs, mask, beta, flags, cont,
-                                block_edges: int = DEFAULT_SCAN_BLOCK,
-                                interpret: bool = False):
-    """Segmented max-scan of where(mask, beta*msgs, -1e30) along axis 0."""
-    eb, d = msgs.shape
-    assert eb % block_edges == 0
-    nb = eb // block_edges
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # cont, beta
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
-        ],
-        out_specs=pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32)],
-    )
-    return pl.pallas_call(
-        _softmax_max_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.float32),
-        interpret=interpret,
-    )(cont, beta.reshape(1), flags, msgs, mask)
-
-
-@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
 def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
                     interpret: bool = False):
     """Segmented inclusive prefix sum of ``vals`` [EB, D] along axis 0."""
@@ -562,41 +509,6 @@ def _segmented_scan_pair(vals, vals2, flags, cont,
     return out1[:, :d], out2[:, :d]
 
 
-@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
-def _segmented_scan_softmax(msgs, smax_e, mask, beta, flags, cont,
-                            block_edges: int = DEFAULT_SCAN_BLOCK,
-                            interpret: bool = False):
-    """Fused softmax scans: w = exp(beta*msgs - smax_e) * mask computed
-    in-VMEM, then joint segmented scans of [w*msgs, w].  Saves the four HBM
-    round-trips of materializing w and w*msgs for the pair kernel."""
-    eb, d = msgs.shape
-    assert eb % block_edges == 0
-    nb = eb // block_edges
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # cont, beta
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, 1), lambda b, c, bt: (b, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-            pl.BlockSpec((block_edges, d), lambda b, c, bt: (b, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
-                        pltpu.VMEM((8, d), jnp.float32)],
-    )
-    return pl.pallas_call(
-        _softmax_scan_kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((eb, d), jnp.float32),
-                   jax.ShapeDtypeStruct((eb, d), jnp.float32)],
-        interpret=interpret,
-    )(cont, beta.reshape(1), flags, msgs, smax_e, mask)
-
-
 def _pad_rows(x, eb):
     e = x.shape[0]
     if e == eb:
@@ -657,12 +569,6 @@ def segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
 
 # -------------------------------------------------------- softmax aggregate
 
-# round-3 fused path ("fused3": suffix-max + single forward kernel) vs the
-# round-2 two-kernel structure ("r2") kept for the on-chip A/B; flip via
-# scripts/bench_softmax_parts.py only
-SOFTMAX_IMPL = "fused3"
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _softmax_agg_streamed(num_nodes, block_edges, interpret,
                           msgs, beta, flags, cont, last_edge, receivers,
@@ -707,10 +613,16 @@ def _softmax_agg_streamed_fwd(num_nodes, block_edges, interpret,
 
 
 def _softmax_agg_streamed_bwd(num_nodes, block_edges, interpret, res, g):
-    """Same analytic form as the r2 backward (see _softmax_agg_streamed_r2_bwd
-    for the derivation) but with the softmax weights' numerator ``w`` saved by
-    the forward kernel: no exp, no seg_max stream, and the packed node->edge
-    gather shrinks from 4 to 3 feature streams."""
+    """out_n = sum_e wt_e * m_e with wt = softmax_n(beta*m) per lane, so
+
+    dm_e  = wt_e * ( g_n + beta * ( m_e*g_n - s_n ) ),
+    dbeta = sum_e wt_e * m_e * (m_e*g_n - s_n),  s_n = sum_j wt_j (m_j*g_n).
+
+    Since g_n is constant within a segment, s_n = g_n * sum_j wt_j m_j
+    = g_n * out_n — the inner segment reduction collapses to an elementwise
+    product of residuals, so the whole backward is ONE packed node->edge
+    gather plus fused elementwise math: no exp (the weights' numerator ``w``
+    is saved by the forward kernel), no segment reduction, no scatter."""
     msgs, beta, w, den_end, out, receivers = res
     d = msgs.shape[1]
     packed = jnp.concatenate([den_end, g, out * g], axis=1)
@@ -728,93 +640,6 @@ _softmax_agg_streamed.defvjp(_softmax_agg_streamed_fwd,
                              _softmax_agg_streamed_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _softmax_agg_streamed_r2(num_nodes, block_edges, interpret,
-                             msgs, beta, flags, cont, last_edge, receivers,
-                             edge_mask_f):
-    out, _, _ = _softmax_agg_parts(num_nodes, block_edges, interpret, msgs,
-                                   beta, flags, cont, last_edge, receivers,
-                                   edge_mask_f)
-    return out
-
-
-def _softmax_agg_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
-                       cont, last_edge, receivers, edge_mask_f):
-    eb = flags.shape[0]
-    e = msgs.shape[0]  # msgs may be bf16: kernels convert at VMEM load
-    block = block_edges  # always the plan's block (see the public wrappers)
-    # max pass rides the streaming max-scan with the logit prep (mask,
-    # beta-scale) fused into the kernel — the masked-logit stream never
-    # materializes (vs XLA's scatter-max lowering of segment_max)
-    mask_col = _pad_rows(edge_mask_f[:, None], eb)
-    scan_max = _segmented_scan_softmax_max(
-        _pad_rows(jax.lax.stop_gradient(msgs), eb), mask_col,
-        jnp.asarray(beta, jnp.float32), flags, cont, block_edges=block,
-        interpret=interpret)
-    last = jnp.clip(last_edge, 0, eb - 1)
-    seg_max = jnp.take(scan_max, last, axis=0)
-    # all-masked segments get seg_max = 0 so w = exp(-1e30 - 0) underflows to
-    # 0 cleanly; the validity indicator is a scanned mask count, not a value
-    # threshold (single-lane segment sum, 1/D of the feature traffic)
-    valid = _counts(receivers, edge_mask_f, num_nodes) > 0
-    seg_max = jnp.where((last_edge >= 0)[:, None] & valid[:, None],
-                        seg_max, 0.0)
-    smax_e = jnp.take(seg_max, receivers, axis=0)
-    numer, denom = _segmented_scan_softmax(
-        _pad_rows(msgs, eb), _pad_rows(smax_e, eb), mask_col,
-        jnp.asarray(beta, jnp.float32),
-        flags, cont, block_edges=block, interpret=interpret)
-    num_end = jnp.take(numer, last, axis=0)
-    den_end = jnp.take(denom, last, axis=0)
-    den_end = jnp.maximum(den_end, 1e-16)
-    out = jnp.where((last_edge >= 0)[:, None], num_end / den_end, 0.0)
-    return out, seg_max, den_end
-
-
-def _softmax_agg_streamed_r2_fwd(num_nodes, block_edges, interpret,
-                                 msgs, beta, flags, cont, last_edge, receivers,
-                                 edge_mask_f):
-    out, seg_max, den_end = _softmax_agg_parts(
-        num_nodes, block_edges, interpret, msgs, beta, flags, cont, last_edge,
-        receivers, edge_mask_f)
-    return out, (msgs, beta, seg_max, den_end, out, flags, cont, last_edge,
-                 receivers, edge_mask_f)
-
-
-def _softmax_agg_streamed_r2_bwd(num_nodes, block_edges, interpret, res, g):
-    """out_n = sum_e wt_e * m_e with wt = softmax_n(beta*m) per lane.
-
-    dm_e = wt_e * ( g_n + beta * ( m_e*g_n - s_n ) ),
-    dbeta = sum_e wt_e * m_e * (m_e*g_n - s_n),  s_n = sum_j wt_j (m_j*g_n).
-
-    Since g_n is constant within a segment, s_n = g_n * sum_j wt_j m_j
-    = g_n * out_n — the inner segment reduction collapses to an elementwise
-    product of residuals.  The whole backward is therefore two node->edge
-    gathers plus fused elementwise math: NO segment reduction, NO scatter.
-    """
-    (msgs, beta, seg_max, den_end, out, flags, cont, last_edge, receivers,
-     edge_mask_f) = res
-    # ONE node->edge gather for all four per-node residuals (XLA does not
-    # fuse separate gathers; concat along features makes it a single take)
-    d = msgs.shape[1]
-    packed = jnp.concatenate([seg_max, den_end, g, out * g], axis=1)
-    pe = jnp.take(packed, receivers, axis=0)
-    smax_e, den_e, g_e, s_e = (pe[:, :d], pe[:, d:2 * d], pe[:, 2 * d:3 * d],
-                               pe[:, 3 * d:])
-    # mask on the logits before exp (same overflow guard as the forward)
-    w = jnp.exp(jnp.where(edge_mask_f[:, None] > 0, beta * msgs, _NEG)
-                - smax_e)
-    wt = w / den_e
-    mg = msgs * g_e
-    dm = (wt * (g_e + beta * (mg - s_e))).astype(msgs.dtype)
-    dbeta = jnp.sum(wt * msgs * (mg - s_e))
-    return (dm, dbeta, None, None, None, None, None)
-
-
-_softmax_agg_streamed_r2.defvjp(_softmax_agg_streamed_r2_fwd,
-                                _softmax_agg_streamed_r2_bwd)
-
-
 def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
                                num_nodes: int, beta, edge_mask=None,
                                block_edges: Optional[int] = None,
@@ -827,11 +652,9 @@ def softmax_aggregate_streamed(msgs, receivers, flags, cont, last_edge,
     block_edges = block_edges or flags.shape[0] // cont.shape[0]
     e = msgs.shape[0]
     msgs, mask_f = _prep(msgs, edge_mask)
-    fn = (_softmax_agg_streamed if SOFTMAX_IMPL == "fused3"
-          else _softmax_agg_streamed_r2)
-    return fn(num_nodes, block_edges, interpret, msgs,
-              jnp.asarray(beta, jnp.float32), flags, cont,
-              last_edge, receivers, mask_f)
+    return _softmax_agg_streamed(num_nodes, block_edges, interpret, msgs,
+                                 jnp.asarray(beta, jnp.float32), flags, cont,
+                                 last_edge, receivers, mask_f)
 
 
 # --------------------------------------------- message gather, streamed bwd

@@ -1,16 +1,18 @@
-"""Component-level timing of the streamed softmax aggregation (VERDICT r2 #3).
+"""Component-level timing of the streamed softmax aggregation (fused3 path).
 
-Times each stage of `softmax_aggregate_streamed` separately (slope method) to
-locate the gap between the measured fwd (~143 us at block 256) and the
-~75 us all-streams bandwidth floor, before any redesign."""
+Times each stage of `softmax_aggregate_streamed` separately (slope method):
+the suffix-max kernel, the fused numerator/denominator/weights kernel, the
+end-gathers, and the composed fwd / fwd+bwd — against the plain segment-sum
+scan as the single-stream bandwidth reference.  This locates the remaining
+gap to the all-streams floor (KERNELS.md round-3/4 softmax sections)."""
 import sys, time
 sys.path.insert(0, ".")
 import numpy as np
 import jax
 import jax.numpy as jnp
 from phc_gnn_tpu.ops.stream_scan import (
-    build_scan_plan, softmax_aggregate_streamed, _segmented_scan_softmax_max,
-    _segmented_scan_softmax, _segmented_scan, _pad_rows, _NEG)
+    build_scan_plan, softmax_aggregate_streamed, _segmented_suffix_max,
+    _segmented_scan_softmax_fused, _segmented_scan, _pad_rows)
 
 print("backend:", jax.default_backend(), flush=True)
 E, N, D = 8192, 4096, 200
@@ -26,6 +28,7 @@ fl, co, la = map(jnp.asarray, (flags, cont, last))
 eb = fl.shape[0]
 beta = jnp.float32(1.1)
 mask_col = _pad_rows(mask_f[:, None], eb)
+eflags = jnp.concatenate([fl[1:], jnp.ones((1, 1), fl.dtype)])
 
 
 def slope(f, n1=20, n2=220, reps=3):
@@ -45,23 +48,18 @@ def slope(f, n1=20, n2=220, reps=3):
     return (min(t(f2) for _ in range(reps)) - min(t(f1) for _ in range(reps))) / (n2 - n1)
 
 
-# precomputed device inputs for isolated stages
-scan_max0 = _segmented_scan_softmax_max(_pad_rows(msgs, eb), mask_col, beta,
-                                        fl, co, block_edges=BLOCK)
-seg_max0 = jnp.where((la >= 0)[:, None],
-                     jnp.take(scan_max0, jnp.clip(la, 0, eb - 1), axis=0), 0.0)
-smax_e0 = jnp.take(seg_max0, recv_j, axis=0)
+suff0 = _segmented_suffix_max(_pad_rows(msgs, eb), mask_col, beta, eflags, co,
+                              block_edges=BLOCK)
 
-t_max = slope(lambda k: jnp.sum(_segmented_scan_softmax_max(
-    _pad_rows(msgs, eb) + jnp.float32(k), mask_col, beta, fl, co,
+t_suff = slope(lambda k: jnp.sum(_segmented_suffix_max(
+    _pad_rows(msgs, eb) + jnp.float32(k), mask_col, beta, eflags, co,
     block_edges=BLOCK)))
-t_gather_seg = slope(lambda k: jnp.sum(jnp.where(
+t_fused = slope(lambda k: jnp.sum(sum(_segmented_scan_softmax_fused(
+    _pad_rows(msgs, eb) + jnp.float32(k), suff0, mask_col, beta, fl, co,
+    block_edges=BLOCK))))
+t_gather = slope(lambda k: jnp.sum(jnp.where(
     (la >= 0)[:, None],
-    jnp.take(scan_max0, jnp.clip(la + k, 0, eb - 1), axis=0), 0.0)))
-t_bcast = slope(lambda k: jnp.sum(jnp.take(seg_max0, recv_j + k, axis=0)))
-t_pair = slope(lambda k: jnp.sum(sum(_segmented_scan_softmax(
-    _pad_rows(msgs, eb) + jnp.float32(k), _pad_rows(smax_e0, eb),
-    mask_col, beta, fl, co, block_edges=BLOCK))))
+    jnp.take(suff0, jnp.clip(la + k, 0, eb - 1), axis=0), 0.0)))
 t_plain = slope(lambda k: jnp.sum(_segmented_scan(
     _pad_rows(msgs, eb) + jnp.float32(k), fl, co, block_edges=BLOCK)))
 t_full = slope(lambda k: jnp.sum(softmax_aggregate_streamed(
@@ -77,11 +75,10 @@ def bwd_fn(k):
 
 t_fwdbwd = slope(bwd_fn)
 
-print(f"max scan kernel      : {t_max*1e6:7.1f} us")
-print(f"seg_max end-gather   : {t_gather_seg*1e6:7.1f} us")
-print(f"smax_e broadcast take: {t_bcast*1e6:7.1f} us")
-print(f"pair scan kernel     : {t_pair*1e6:7.1f} us")
+print(f"suffix-max kernel    : {t_suff*1e6:7.1f} us")
+print(f"fused n/d/w kernel   : {t_fused*1e6:7.1f} us")
+print(f"end-gather           : {t_gather*1e6:7.1f} us")
 print(f"[ref] plain sum scan : {t_plain*1e6:7.1f} us")
 print(f"full softmax fwd     : {t_full*1e6:7.1f} us")
 print(f"full softmax fwd+bwd : {t_fwdbwd*1e6:7.1f} us")
-print(f"sum of parts (fwd)   : {(t_max+t_gather_seg+t_bcast+t_pair)*1e6:7.1f} us")
+print(f"sum of parts (fwd)   : {(t_suff+t_fused+2*t_gather)*1e6:7.1f} us")
