@@ -1,0 +1,100 @@
+"""Pins the committed full-pipeline convergence-parity records (VERDICT r3 #1).
+
+parity_runs/{zinc,hiv}/record.json were produced by
+scripts/run_convergence_parity.py: the reference's ACTUAL training loop
+(benchmarks.train_{zinc,hiv}.do_run, torch CPU via tests/pyg_shim) and our CLI
+(benchmarks/train_{zinc,hiv}.py) ran end to end on the same committed
+deterministic synthetic molecular dataset (phc_gnn_tpu/data/parity.py,
+generator seed 7), from the same transplanted initial weights, with identical
+hyperparameters, for >= 35 epochs each with live ReduceLROnPlateau scheduling,
+dropout, weight/rule regularization, and BN running stats.
+
+Tolerances (stated): per-epoch validation trajectories are stochastic (each
+side draws its own dropout masks and shuffle order), so the bars are
+
+  - quality endpoints: |best_val| and |test@bestval| within 0.015 of each
+    other (both metrics live on ~[0, 1] scales at convergence),
+  - trajectory tracking: the 5-epoch running-median curves stay within 0.05
+    (AUC) / a 1.4x ratio from epoch 4 on (MAE) at every epoch,
+  - non-vacuous learning: both sides improve the validation metric by a
+    large factor from epoch 0 (the dataset's teacher signal is learnable).
+
+If these fail after an intentional training-semantics change, regenerate the
+records with scripts/run_convergence_parity.py (--task zinc / hiv) and review
+the diff.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load(task):
+    path = os.path.join(HERE, "parity_runs", task, "record.json")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not committed")
+    with open(path) as f:
+        return json.load(f)
+
+
+def rmed(x, k=5):
+    x = np.asarray(x, np.float64)
+    pad = k // 2
+    xp = np.pad(x, pad, mode="edge")
+    return np.array([np.median(xp[i:i + k]) for i in range(len(x))])
+
+
+def test_zinc_record():
+    rec = load("zinc")
+    ref, ours = rec["reference"], rec["ours"]
+    assert len(ref["val_metric"]) >= 35 and len(ours["val_metric"]) >= 35
+    assert rec["dataset"]["train"] >= 5000
+    # endpoints (MAE, lower better)
+    assert abs(ref["best_val"] - ours["best_val"]) < 0.015, \
+        (ref["best_val"], ours["best_val"])
+    assert abs(ref["test_bestval"] - ours["test_bestval"]) < 0.015
+    # trajectory tracking: MAE spans half an order of magnitude over the run,
+    # so the bar is a RATIO of the running medians; the first few epochs of
+    # steep descent are excluded (a one-epoch phase offset there reads as a
+    # 2x ratio without meaning anything about converged quality)
+    a, b = rmed(ref["val_metric"]), rmed(ours["val_metric"])
+    n = min(len(a), len(b))
+    ratio = np.maximum(a[4:n], b[4:n]) / np.minimum(a[4:n], b[4:n])
+    assert np.max(ratio) < 1.4, ratio.max()
+    # non-vacuous: both sides cut val MAE by >= 4x from epoch 0
+    assert ref["val_metric"][0] / ref["best_val"] > 4
+    assert ours["val_metric"][0] / ours["best_val"] > 4
+
+
+def test_hiv_record():
+    rec = load("hiv")
+    ref, ours = rec["reference"], rec["ours"]
+    assert len(ref["val_metric"]) >= 35 and len(ours["val_metric"]) >= 35
+    # endpoints (ROC-AUC, higher better)
+    assert abs(ref["best_val"] - ours["best_val"]) < 0.015
+    assert abs(ref["test_bestval"] - ours["test_bestval"]) < 0.015
+    assert ref["best_val"] > 0.80 and ours["best_val"] > 0.80
+    a, b = rmed(ref["val_metric"]), rmed(ours["val_metric"])
+    n = min(len(a), len(b))
+    assert np.max(np.abs(a[:n] - b[:n])) < 0.05
+    # non-vacuous: both sides climb >= 0.2 AUC from epoch 0
+    assert ref["best_val"] - ref["val_metric"][0] > 0.2
+    assert ours["best_val"] - ours["val_metric"][0] > 0.2
+
+
+def test_records_share_config():
+    for task in ("zinc", "hiv"):
+        rec = load(task)
+        hp = rec["hparams"]
+        # the two sides ran the same experiment by construction; pin the
+        # canonical-config essentials so a regenerated record can't silently
+        # drift to an easier setup
+        assert hp["epochs"] >= 35 and hp["batch_size"] == 128
+        assert hp["phm_dim"] == 4 and hp["weightdecay"] > 0
+        assert rec["generator_seed"] == 7
+    assert load("zinc")["hparams"]["aggr_msg"] == "sum"
+    assert load("hiv")["hparams"]["aggr_msg"] == "softmax"
