@@ -33,6 +33,12 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     explicit = coordinator_address is not None or num_processes is not None
     try:
+        import os
+        if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+            # CPU clusters (dev / CI): without a cross-process collectives
+            # implementation the CPU client comes up local-only and
+            # process_count() silently stays 1
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
     except RuntimeError as e:

@@ -80,6 +80,8 @@ def write_csv_gz(path, arr):
 
 
 def _fmt(v):
+    if np.isnan(float(v)):
+        return ""  # OGB raw csv stores missing multi-task labels as empty
     if float(v) == int(v):
         return str(int(v))
     return repr(float(v))
@@ -137,7 +139,102 @@ def write_zinc_fixture():
         print("wrote", os.path.join(FIXDIR, f"zinc_{part}.npz"))
 
 
+def write_pcba_fixture():
+    """ogbg-molpcba raw layout: 128-task labels with NaN holes (empty csv
+    cells, like the real dataset — reference benchmarks/train_pcba.py)."""
+    rng = np.random.default_rng(13)
+    graphs = make_graphs(rng, 12, "ogb")
+    n_tasks = 128
+    labels = rng.integers(0, 2, size=(len(graphs), n_tasks)).astype(np.float32)
+    holes = rng.random((len(graphs), n_tasks)) < 0.5
+    labels[holes] = np.nan
+    # every task keeps at least one positive and one negative somewhere so
+    # the AP metric is defined on the fixture
+    labels[0] = 1.0
+    labels[1] = 0.0
+
+    root = os.path.join(FIXDIR, "ogbg_molpcba")
+    raw = os.path.join(root, "raw")
+    split = os.path.join(root, "split", "scaffold")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+    write_csv_gz(os.path.join(raw, "edge.csv.gz"),
+                 np.concatenate([g["edge_index"].T for g in graphs]))
+    write_csv_gz(os.path.join(raw, "node-feat.csv.gz"),
+                 np.concatenate([g["x"] for g in graphs]))
+    write_csv_gz(os.path.join(raw, "edge-feat.csv.gz"),
+                 np.concatenate([g["edge_attr"] for g in graphs]))
+    write_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
+                 [g["x"].shape[0] for g in graphs])
+    write_csv_gz(os.path.join(raw, "num-edge-list.csv.gz"),
+                 [g["edge_index"].shape[1] for g in graphs])
+    write_csv_gz(os.path.join(raw, "graph-label.csv.gz"), labels)
+    write_csv_gz(os.path.join(split, "train.csv.gz"), np.arange(0, 8))
+    write_csv_gz(os.path.join(split, "valid.csv.gz"), np.arange(8, 10))
+    write_csv_gz(os.path.join(split, "test.csv.gz"), np.arange(10, 12))
+    print("wrote", root)
+
+
+def write_ppa_fixture():
+    """ogbg-ppa raw layout: NO node-feat file, continuous 7-dim edge
+    features, integer species-class labels, split/species/ (reference
+    benchmarks/train_ppa.py:158-187 derives node features from edges)."""
+    rng = np.random.default_rng(17)
+    graphs = make_graphs(rng, 12, "ogb")
+    n_classes = 5  # tiny stand-in for ppa's 37; target_dim comes from the CLI
+
+    root = os.path.join(FIXDIR, "ogbg_ppa")
+    raw = os.path.join(root, "raw")
+    split = os.path.join(root, "split", "species")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+    write_csv_gz(os.path.join(raw, "edge.csv.gz"),
+                 np.concatenate([g["edge_index"].T for g in graphs]))
+    # continuous edge features, quantized so the csv round-trips exactly
+    efeat = np.round(rng.random(
+        (sum(g["edge_index"].shape[1] for g in graphs), 7)), 4)
+    write_csv_gz(os.path.join(raw, "edge-feat.csv.gz"),
+                 efeat.astype(np.float32))
+    write_csv_gz(os.path.join(raw, "num-node-list.csv.gz"),
+                 [g["x"].shape[0] for g in graphs])
+    write_csv_gz(os.path.join(raw, "num-edge-list.csv.gz"),
+                 [g["edge_index"].shape[1] for g in graphs])
+    write_csv_gz(os.path.join(raw, "graph-label.csv.gz"),
+                 np.asarray([[i % n_classes] for i in range(len(graphs))]))
+    write_csv_gz(os.path.join(split, "train.csv.gz"), np.arange(0, 8))
+    write_csv_gz(os.path.join(split, "valid.csv.gz"), np.arange(8, 10))
+    write_csv_gz(os.path.join(split, "test.csv.gz"), np.arange(10, 12))
+    print("wrote", root)
+
+
+def write_cifar10_fixture():
+    """CIFAR10-superpixel npz splits: continuous RGB x [n,3] + pos [n,2]
+    (concat_x_pos -> 5 = CIFAR10_ATOM_DIM), float edge_attr [e,1], integer
+    class labels (reference benchmarks/train_cifar10.py)."""
+    rng = np.random.default_rng(19)
+    for part, num in (("train", 8), ("valid", 2), ("test", 2)):
+        graphs = make_graphs(rng, num, "zinc")
+        node_ptr = np.cumsum([0] + [g["x"].shape[0] for g in graphs])
+        edge_ptr = np.cumsum([0] + [g["edge_index"].shape[1] for g in graphs])
+        total_n = int(node_ptr[-1])
+        x = np.round(rng.random((total_n, 3)), 4).astype(np.float32)
+        pos = np.round(rng.random((total_n, 2)), 4).astype(np.float32)
+        ei = np.concatenate(
+            [g["edge_index"] + node_ptr[i] for i, g in enumerate(graphs)],
+            axis=1)
+        ea = np.round(rng.random((int(edge_ptr[-1]), 1)), 4).astype(np.float32)
+        y = np.asarray([[i % 10] for i in range(num)], np.int64)
+        np.savez(os.path.join(FIXDIR, f"cifar10_{part}.npz"),
+                 x=x, edge_index=ei, edge_attr=ea, y=y, pos=pos,
+                 node_ptr=node_ptr.astype(np.int64),
+                 edge_ptr=edge_ptr.astype(np.int64))
+        print("wrote", os.path.join(FIXDIR, f"cifar10_{part}.npz"))
+
+
 if __name__ == "__main__":
     os.makedirs(FIXDIR, exist_ok=True)
     write_ogb_fixture()
     write_zinc_fixture()
+    write_pcba_fixture()
+    write_ppa_fixture()
+    write_cifar10_fixture()
