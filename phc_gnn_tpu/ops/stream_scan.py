@@ -134,7 +134,72 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK,
                          last_edge=jnp.asarray(last), **snd)
 
 
-_NEG = -1e30  # identity element of the max scan
+_NEG = -(2.0 ** 100)  # max-scan identity: a POWER OF TWO so the bf16
+# rounding of the suffix stream is exact on the identity (rnd(-1e30) !=
+# -1e30 would make all-masked segments compute exp(logit-segmax) = inf)
+
+
+def _scan_gates(f, be):
+    """Per-pass combine gates of the segmented scan's flag evolution.
+
+    The flag doubling is STREAM-INDEPENDENT: gate_s = (1 - ff_s) * valid_s
+    depends only on the segment-start flags, so kernels scanning several
+    equally-flagged streams (the softmax max + [w*m, w] trio) compute the
+    gates ONCE and replay them per stream (round 4 — the round-2/3 form
+    re-derived the flag evolution inside every scan_stream call, ~2x the
+    flag-column VPU work in the fused softmax kernel).
+
+    A measured non-win recorded in KERNELS.md round 4: replacing the
+    log2(BE) full-width passes with a two-phase scan (8-row sublane groups +
+    compacted 32-row combine) LOSES on-chip whether the group tails are
+    compacted by one-hot MXU matmuls (~1.8x slower; HIGHEST-precision
+    selection) or by reshape/slice/repeat relayouts (~1.8x slower) — rolls
+    by multiples of 8 are tile-granular vreg moves, so the deep passes this
+    would eliminate are the cheap ones."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    ff = jnp.where(iota == 0, 1.0, f)  # barrier: row 0 starts the block scan
+    gates = []
+    s = 1
+    while s < be:
+        valid = (iota >= s).astype(f.dtype)
+        fs = pltpu.roll(ff, s, axis=0)
+        fs = jnp.maximum(fs * valid, 1.0 - valid)
+        gates.append((s, (1.0 - ff) * valid))
+        ff = jnp.maximum(ff, fs)
+        s *= 2
+    return gates
+
+
+def _scan_with_gates(v, gates, op: str):
+    """Segmented inclusive prefix scan of one [BE, D] stream given the
+    precomputed flag gates (log2(BE) shifted roll-combine passes)."""
+    for s, gate in gates:
+        vs = pltpu.roll(v, s, axis=0)
+        if op == "add":
+            v = v + gate * vs
+        else:
+            v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
+    return v
+
+
+def _s0_mask(f, be):
+    """s0[i] = 1 iff no segment start among block rows 1..i — the rows the
+    cross-block carry applies to (an inclusive prefix-max of the flags with
+    row 0 zeroed; cumsum has no Pallas TPU lowering)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
+    fl = jnp.where(iota == 0, 0.0, f)
+    s = 1
+    while s < be:
+        fl = jnp.maximum(fl, pltpu.roll(fl, s, axis=0)
+                         * (iota >= s).astype(fl.dtype))
+        s *= 2
+    return (fl == 0.0).astype(f.dtype)
+
+
+def _apply_carry(v, s0gate, carry, op: str):
+    if op == "add":
+        return v + s0gate * carry[0:1, :]
+    return jnp.maximum(v, jnp.where(s0gate > 0, carry[0:1, :], _NEG))
 
 
 def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
@@ -160,60 +225,18 @@ def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
             carry2[...] = jnp.full_like(carry2, ident)
 
     f = flags_ref[...]  # [BE, 1] 1.0 = segment start
-    # barrier at row 0: within-block scan treats row 0 as a start
-    row0 = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0) == 0)
-    f = jnp.where(row0, 1.0, f)
-
-    def scan_stream(v):
-        ff = f
-        s = 1
-        while s < be:
-            vs = pltpu.roll(v, s, axis=0)
-            fs = pltpu.roll(ff, s, axis=0)
-            shifted_valid = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-                             >= s).astype(v.dtype)
-            fs = jnp.maximum(fs * shifted_valid[..., 0:1],
-                             1.0 - shifted_valid[..., 0:1])
-            if op == "add":
-                vs = vs * shifted_valid
-                v = v + (1.0 - ff) * vs
-            else:
-                gate = (1.0 - ff) * shifted_valid
-                v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
-            ff = jnp.maximum(ff, fs)
-            s *= 2
-        return v
-
-    v1 = scan_stream(v1_in)
+    gates = _scan_gates(f, be)
+    v1 = _scan_with_gates(v1_in, gates, op)
     if v2_in is not None:
-        v2 = scan_stream(v2_in)
+        v2 = _scan_with_gates(v2_in, gates, op)
 
-    # continuation: add the carried trailing-segment sum to every row of this
-    # block's FIRST run (rows before the first in-block boundary).
-    # s0[i] = 1 iff no segment start among rows 1..i — an inclusive prefix-max
-    # of the flags via the same log-shift doubling (cumsum has no Pallas TPU
-    # lowering).
-    fl = flags_ref[...]
-    fl = jnp.where(row0, 0.0, fl)
-    s = 1
-    while s < be:
-        fs = pltpu.roll(fl, s, axis=0)
-        shifted_valid = (jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-                         >= s).astype(fl.dtype)
-        fl = jnp.maximum(fl, fs * shifted_valid)
-        s *= 2
-    s0 = (fl == 0.0).astype(v1.dtype)
+    # continuation: fold the carried trailing-segment partial into every row
+    # of this block's FIRST run
     use_carry = (b > 0) & (cont_ref[b] == 1)
-    gate = jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
-    if op == "add":
-        v1 = v1 + s0 * gate * carry[0:1, :]
-        if v2_in is not None:
-            v2 = v2 + s0 * gate * carry2[0:1, :]
-    else:
-        v1 = jnp.maximum(v1, jnp.where(s0 * gate > 0, carry[0:1, :], _NEG))
-        if v2_in is not None:
-            v2 = jnp.maximum(v2, jnp.where(s0 * gate > 0, carry2[0:1, :],
-                                           _NEG))
+    s0gate = _s0_mask(f, be) * jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
+    v1 = _apply_carry(v1, s0gate, carry, op)
+    if v2_in is not None:
+        v2 = _apply_carry(v2, s0gate, carry2, op)
 
     carry[0:1, :] = v1[be - 1:be, :]
     out_ref[...] = v1
@@ -243,7 +266,12 @@ def _suffix_max_core(carry_gate, eflags, v, out_ref, carry):
     grid (later blocks first).  ``eflags`` [BE, 1] mark segment-END rows
     (eflags[i] = flags[i+1] globally); ``carry_gate`` is 1.0 when the
     previously processed (later) block's leading segment continues this
-    block's trailing run."""
+    block's trailing run.  Emits bf16 (the monotone round-to-nearest of the
+    true suffix max): the forward kernel rounds its in-VMEM prefix max the
+    same way, and max(rnd(prefix), rnd(suffix)) == rnd(true segment max) —
+    still constant across each segment, and the softmax is shift-invariant
+    in the subtracted max, so exactness is unaffected while the [E, D]
+    intermediate stream's HBM traffic halves (round 4)."""
     be = v.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
     row_last = iota == be - 1
@@ -272,7 +300,7 @@ def _suffix_max_core(carry_gate, eflags, v, out_ref, carry):
     t0 = (gl == 0.0).astype(v.dtype)
     v = jnp.maximum(v, jnp.where(t0 * carry_gate > 0, carry[0:1, :], _NEG))
     carry[0:1, :] = v[0:1, :]
-    out_ref[...] = v
+    out_ref[...] = v.astype(out_ref.dtype)
 
 
 def _softmax_suffix_max_kernel(cont_ref, beta_ref, eflags_ref, msgs_ref,
@@ -300,8 +328,9 @@ def _softmax_suffix_max_kernel(cont_ref, beta_ref, eflags_ref, msgs_ref,
 
 
 def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
-                          suffmax_ref, mask_ref, out_num, out_den, out_w,
-                          carry_max, carry_num, carry_den, pmax):
+                          suffmax_ref, mask_ref, out_num, out_den,
+                          out_w=None, carry_max=None, carry_num=None,
+                          carry_den=None):
     """Single forward pass of the round-3 fused softmax: recomputes the
     masked logits, runs the segmented prefix-max scan in VMEM (scratch), takes
     segmax = max(prefix, suffix) — constant across each segment since both
@@ -309,17 +338,54 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
     w = mask * exp(logit - segmax).  The mask factor (not just the -1e30
     logit) makes all-masked segments yield 0/0 -> clamped 0 without any
     validity side-channel.  ``w`` is emitted as a residual stream so the
-    backward never rebuilds the softmax weights (no exp, no smax gather)."""
+    backward never rebuilds the softmax weights (no exp, no smax gather);
+    the eval/inference path drops the ``out_w`` output entirely — an [E, D]
+    HBM write that only the backward reads (round 4, VERDICT r3 weak #6).
+
+    Round 4: the max scan and the [w*m, w] pair share ONE set of flag gates
+    and ONE s0 mask (they scan the same segment structure), removing the
+    duplicated flag-evolution and carry-mask passes the three nested
+    _scan_core calls used to pay; the prefix max is rounded to bf16 before
+    combining with the (bf16) suffix stream so segmax stays segment-constant
+    (monotone rounding commutes with max)."""
+    b = pl.program_id(0)
+    be = msgs_ref.shape[0]
+
+    @pl.when(b == 0)
+    def _():
+        carry_max[...] = jnp.full_like(carry_max, _NEG)
+        carry_num[...] = jnp.zeros_like(carry_num)
+        carry_den[...] = jnp.zeros_like(carry_den)
+
     m = msgs_ref[...].astype(jnp.float32)
     mask = mask_ref[...]
+    f = flags_ref[...]
     logit = jnp.where(mask > 0, beta_ref[0] * m, _NEG)
-    _scan_core(cont_ref, flags_ref, logit, None, pmax, None, carry_max, None,
-               "max")
-    segmax = jnp.maximum(pmax[...], suffmax_ref[...])
+
+    gates = _scan_gates(f, be)
+    use_carry = (b > 0) & (cont_ref[b] == 1)
+    s0gate = (_s0_mask(f, be)
+              * jnp.where(use_carry, 1.0, 0.0).astype(jnp.float32))
+
+    pm = _apply_carry(_scan_with_gates(logit, gates, "max"), s0gate,
+                      carry_max, "max")
+    carry_max[0:1, :] = pm[be - 1:be, :]
+    # bf16 rounding is monotone: max(rnd(prefix), rnd(suffix)) = rnd(segmax),
+    # constant across the segment; softmax is shift-invariant in segmax
+    segmax = jnp.maximum(pm.astype(jnp.bfloat16).astype(jnp.float32),
+                         suffmax_ref[...].astype(jnp.float32))
     w = mask * jnp.exp(logit - segmax)
-    out_w[...] = w
-    _scan_core(cont_ref, flags_ref, w * m, w, out_num, out_den, carry_num,
-               carry_den, "add")
+    if out_w is not None:
+        out_w[...] = w
+
+    num = _apply_carry(_scan_with_gates(w * m, gates, "add"), s0gate,
+                       carry_num, "add")
+    den = _apply_carry(_scan_with_gates(w, gates, "add"), s0gate,
+                       carry_den, "add")
+    carry_num[0:1, :] = num[be - 1:be, :]
+    carry_den[0:1, :] = den[be - 1:be, :]
+    out_num[...] = num
+    out_den[...] = den
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
@@ -346,22 +412,37 @@ def _segmented_suffix_max(msgs, mask, beta, eflags, cont,
     return pl.pallas_call(
         _softmax_suffix_max_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.float32),
+        # bf16 stream: monotone-rounded suffix max (see _suffix_max_core)
+        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.bfloat16),
         interpret=interpret,
     )(cont, beta.reshape(1), eflags, msgs, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
+def _softmax_fused_kernel_nw(cont_ref, beta_ref, flags_ref, msgs_ref,
+                             suffmax_ref, mask_ref, out_num, out_den,
+                             carry_max, carry_num, carry_den):
+    """Eval-path variant: identical math, no ``w`` residual output."""
+    _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
+                          suffmax_ref, mask_ref, out_num, out_den, None,
+                          carry_max, carry_num, carry_den)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_edges", "interpret", "emit_w"))
 def _segmented_scan_softmax_fused(msgs, suffmax, mask, beta, flags, cont,
                                   block_edges: int = DEFAULT_SCAN_BLOCK,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  emit_w: bool = True):
     """Round-3 fused softmax forward: in-VMEM prefix max + suffix-max input
     -> segment max -> joint [w*m, w] scans, one pass over the messages.
-    Returns (numer scan, denom scan, w residual stream)."""
+    Returns (numer scan, denom scan, w residual stream or None) —
+    ``emit_w=False`` (eval/inference, nothing will run the backward) skips
+    the [E, D] residual write."""
     eb, d = msgs.shape
     assert eb % block_edges == 0
     nb = eb // block_edges
     fwd = lambda b, c, bt: (b, 0)  # noqa: E731
+    n_out = 3 if emit_w else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # cont, beta
         grid=(nb,),
@@ -371,24 +452,20 @@ def _segmented_scan_softmax_fused(msgs, suffmax, mask, beta, flags, cont,
             pl.BlockSpec((block_edges, d), fwd),
             pl.BlockSpec((block_edges, 1), fwd),
         ],
-        out_specs=[
-            pl.BlockSpec((block_edges, d), fwd),
-            pl.BlockSpec((block_edges, d), fwd),
-            pl.BlockSpec((block_edges, d), fwd),
-        ],
+        out_specs=[pl.BlockSpec((block_edges, d), fwd)] * n_out,
         scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
                         pltpu.VMEM((8, d), jnp.float32),
-                        pltpu.VMEM((8, d), jnp.float32),
-                        pltpu.VMEM((block_edges, d), jnp.float32)],
+                        pltpu.VMEM((8, d), jnp.float32)],
     )
-    return pl.pallas_call(
-        _softmax_fused_kernel,
+    out = pl.pallas_call(
+        _softmax_fused_kernel if emit_w else _softmax_fused_kernel_nw,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((eb, d), jnp.float32),
-                   jax.ShapeDtypeStruct((eb, d), jnp.float32),
-                   jax.ShapeDtypeStruct((eb, d), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((eb, d), jnp.float32)] * n_out,
         interpret=interpret,
     )(cont, beta.reshape(1), flags, msgs, suffmax, mask)
+    if emit_w:
+        return out
+    return out[0], out[1], None
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
@@ -452,10 +529,10 @@ def segment_max_streamed(vals, flags, cont, last_edge, num_nodes: int,
                          interpret: bool = False, valid=None):
     """Segment max of receiver-sorted ``vals`` [E, D] into [num_nodes, D]
     via the streaming max-scan (replaces XLA's scatter-max lowering of
-    jax.ops.segment_max).  Masked rows must already carry -1e30; empty
+    jax.ops.segment_max).  Masked rows must already carry _NEG; empty
     segments return 0.  ``valid`` [num_nodes] bool marks segments with at
     least one unmasked edge; when omitted, segments whose max sits at the
-    -1e30 identity are treated as all-masked (a value threshold — exact for
+    _NEG identity are treated as all-masked (a value threshold — exact for
     any realistic activation magnitude, callers with a mask in hand pass
     ``valid`` to avoid the conflation at |x| >= 5e29).  Not differentiable
     (softmax uses it under stop_gradient only)."""
@@ -573,14 +650,17 @@ def segment_sum_streamed(msgs, receivers, flags, cont, last_edge,
 def _softmax_agg_streamed(num_nodes, block_edges, interpret,
                           msgs, beta, flags, cont, last_edge, receivers,
                           edge_mask_f):
+    # primal (eval/inference — no VJP will consume residuals): skip the
+    # [E, D] w-stream write (round 4, VERDICT r3 weak #6)
     out, _, _ = _softmax_fused_parts(num_nodes, block_edges, interpret, msgs,
                                      beta, flags, cont, last_edge, receivers,
-                                     edge_mask_f)
+                                     edge_mask_f, need_w=False)
     return out
 
 
 def _softmax_fused_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
-                         cont, last_edge, receivers, edge_mask_f):
+                         cont, last_edge, receivers, edge_mask_f,
+                         need_w: bool = True):
     """Round-3 softmax forward: 2 kernel passes, 2 end-gathers, zero node->
     edge broadcasts (VERDICT r2 #3).  Returns (out, w edge stream, den_end)."""
     eb = flags.shape[0]
@@ -595,12 +675,12 @@ def _softmax_fused_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
                                  interpret=interpret)
     numer, denom, w = _segmented_scan_softmax_fused(
         msgs_p, suff, mask_col, beta, flags, cont, block_edges=block_edges,
-        interpret=interpret)
+        interpret=interpret, emit_w=need_w)
     last = jnp.clip(last_edge, 0, eb - 1)
     num_end = jnp.take(numer, last, axis=0)
     den_end = jnp.maximum(jnp.take(denom, last, axis=0), 1e-16)
     out = jnp.where((last_edge >= 0)[:, None], num_end / den_end, 0.0)
-    return out, w[:e], den_end
+    return out, (w[:e] if need_w else None), den_end
 
 
 def _softmax_agg_streamed_fwd(num_nodes, block_edges, interpret,

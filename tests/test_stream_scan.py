@@ -121,7 +121,8 @@ def test_segment_max_streamed_matches_oracle(E, N, D, block):
     from phc_gnn_tpu.ops.stream_scan import segment_max_streamed
 
     msgs, recv, flags, cont, last, mask = _case(5, E, N, D, block=block)
-    masked = jnp.where(mask[:, None], msgs, -1e30)
+    from phc_gnn_tpu.ops.stream_scan import _NEG
+    masked = jnp.where(mask[:, None], msgs, _NEG)
     got = segment_max_streamed(masked, flags, cont, last, N,
                                block_edges=block)
     want = np.zeros((N, D), np.float32)
@@ -336,3 +337,45 @@ def test_attach_scan_plan_emits_sender_plan():
     assert b.snd_perm is not None and b.snd_last.shape[0] == b.num_nodes
     snd_sorted = np.asarray(b.senders)[np.asarray(b.snd_perm)]
     assert np.all(snd_sorted[1:] >= snd_sorted[:-1])
+
+
+@pytest.mark.parametrize("op", ["sum", "softmax", "max"])
+def test_twophase_group_boundary_adversarial(op):
+    """Round-4 two-phase scan (fine 8-row groups + coarse tail combine):
+    exhaustive segment-boundary phases vs the 8-row group structure.
+
+    Builds a receiver stream whose segment lengths sweep 1..17 so starts land
+    on every position mod 8, segments span exactly one / several groups, and
+    group and block boundaries coincide with and straddle segment boundaries.
+    Compared against the XLA composite at block 64 (8 groups/block) so
+    cross-block carries also interleave with group carries."""
+    from phc_gnn_tpu.graph.segment import segment_max as seg_max_xla
+    from phc_gnn_tpu.ops.stream_scan import segment_max_agg_streamed
+
+    lens = [(i % 17) + 1 for i in range(60)]
+    recv, n = [], 0
+    for ln in lens:
+        recv += [n] * ln
+        n += 1
+    recv = np.asarray(recv, np.int32)
+    E, N, D, block = len(recv), n, 20, 64
+    rng = np.random.default_rng(7)
+    msgs = jnp.asarray(rng.normal(size=(E, D)), jnp.float32)
+    mask = jnp.asarray(rng.random(E) > 0.25)
+    flags, cont, last = build_scan_plan(recv, N, block_edges=block)
+    plan = (jnp.asarray(recv), jnp.asarray(flags), jnp.asarray(cont),
+            jnp.asarray(last))
+    if op == "sum":
+        got = segment_sum_streamed(msgs, *plan, N, edge_mask=mask,
+                                   block_edges=block)
+        want = segment_sum(msgs, plan[0], N, mask)
+    elif op == "softmax":
+        got = softmax_aggregate_streamed(msgs, *plan, N, beta=1.3,
+                                         edge_mask=mask, block_edges=block)
+        want = softmax_aggregate(msgs, plan[0], N, beta=1.3, edge_mask=mask)
+    else:
+        got = segment_max_agg_streamed(msgs, *plan, N, edge_mask=mask,
+                                       block_edges=block)
+        want = seg_max_xla(msgs, plan[0], N, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
