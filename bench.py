@@ -34,9 +34,57 @@ import time
 _LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_LASTGOOD.json")
 
-_INNER_TIMEOUT_S = 420
+_INNER_TIMEOUT_S = 900  # floors add ~8 tunnel compiles
 _ATTEMPTS = 3
 _BACKOFF_S = (20, 60)
+
+
+def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
+    """Per-op achievable-bound floors (ms) for one flagship train step.
+
+    Each class is a MEASURED isolated op at the step's own shapes in this
+    very process (slope method via ``timed_op``), so tunnel/clock conditions
+    cancel; the inventory prices every hot op of the fwd+bwd step in units
+    of those measurements and sums WITHOUT overlap.  Pass counts per op are
+    written out explicitly so the model is auditable (VERDICT r3 #5).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    xe = jnp.asarray(rng.normal(size=(n_edges, d)), jnp.float32)
+    xn = jnp.asarray(rng.normal(size=(n_nodes, d)), jnp.float32)
+    snd = jnp.asarray(rng.integers(0, n_nodes, n_edges), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(d, d)), jnp.float32)
+
+    # measured class ops
+    # abs() readouts: a plain sum would let XLA collapse sum(A @ W) into
+    # two vector products and time ~nothing (measured: negative slope)
+    t_stream = timed_op(lambda k: jnp.sum(jnp.abs(xe + k)))  # r+w edge stream
+    t_node = timed_op(lambda k: jnp.sum(jnp.abs(xn + k)))    # r+w node stream
+    t_gather = timed_op(
+        lambda k: jnp.sum(jnp.abs(jnp.take(xn + k, snd, axis=0))))
+    t_gemm = timed_op(lambda k: jnp.sum(jnp.abs((xn + k) @ w)))
+    t_stream, t_node, t_gather, t_gemm = (
+        max(t, 0.0) for t in (t_stream, t_node, t_gather, t_gemm))
+
+    # inventory (streams in units of one full edge/node r+w pass):
+    #   fwd/layer: gather 1; bond one-hot encode ~1 gemm_e-ish -> charge 1
+    #   edge pass; msgs relu(x_s+e) 1.5; softmax suffix 1 + fused 2.5;
+    #   BN 1 node pass; dropout+residual 1 node pass; 2 PHM GEMMs.
+    #   bwd/layer: ~2x the stream passes, 2x GEMMs, +1 sender perm-scan
+    #   (1.5 edge passes).  fixed: encoders/pool/head/loss/optimizer ~4
+    #   node passes + 1 gemm.
+    fl = {
+        "gather_fwd_bwd": layers * 3 * t_gather,       # fwd + bwd g[recv] + perm
+        "edge_streams": layers * (1.0 + 1.5 + 3.5) * 2 * t_stream,
+        "sender_scan_bwd": layers * 1.5 * t_stream,
+        "node_streams": layers * 2 * 2 * t_node,       # BN + dropout, fwd+bwd
+        "phm_gemms": layers * 2 * 3 * t_gemm,          # 2 linears, fwd+2bwd
+        "fixed": 4 * t_node + 1 * t_gemm,
+    }
+    return {k: v * 1e3 for k, v in fl.items()}  # ms
 
 
 def inner():
@@ -118,15 +166,37 @@ def inner():
     per_eval = (te2 - te1) / (k2 - k1)
     eval_edges_per_s = real_edges / per_eval
 
-    # crude roofline lower bound: GEMM FLOPs (fwd + ~2x bwd) at the measured
-    # ~158 TFLOP/s large-matmul rate, plus edge+node activation traffic at
-    # ~800 GB/s HBM.  d is the FLAT feature width (mp_units are flat n*d/n
-    # sizes).  Small 200-wide GEMMs and per-op overheads run well below these
-    # peaks, so the achievable bound is looser than this number suggests.
+    def timed_op(f, n1=20, n2=220, reps=3):
+        """Slope-method per-call time of one op; a single compile (dynamic
+        trip count) keeps the tunnel compile cost bounded."""
+        @jax.jit
+        def g(n):
+            def body(i, acc):
+                kz = jnp.int32(jnp.isnan(acc))
+                return acc * 0.5 + f(kz)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        jax.block_until_ready(g(n1))
+
+        def t(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(n))
+            return time.perf_counter() - t0
+        return (min(t(n2) for _ in range(reps))
+                - min(t(n1) for _ in range(reps))) / (n2 - n1)
+
+    # ---- achievable-bound model (VERDICT r3 #5): per-op floors priced
+    # against three bandwidth classes MEASURED IN THIS RUN (same process,
+    # same tunnel conditions as the step itself), summed with no overlap
+    # assumed.  This replaces the crude single roofline; the old number is
+    # still emitted as detail.roofline_ms for continuity.
     n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, dim
     layers = 4
+    floors = achievable_floors(n_nodes, n_edges, d, layers, timed_op)
+    achievable_ms = sum(floors.values())
+
+    # crude roofline lower bound (round 1-3 continuity): GEMM FLOPs at the
+    # ~158 TFLOP/s large-matmul rate + activation traffic at ~800 GB/s peak
     gemm_flops = 3 * 2 * layers * 2 * n_nodes * d * d  # fwd+bwd, 2 linears
-    # per layer fwd: gather + msgs + ~4 segment passes; bwd ~ same again
     edge_bytes = 2 * layers * 8 * n_edges * d * 4
     node_bytes = 2 * layers * 6 * n_nodes * d * 4
     roofline_ms = (gemm_flops / 158e12 + (edge_bytes + node_bytes) / 800e9) * 1e3
@@ -149,6 +219,9 @@ def inner():
             "dispatch_overhead_ms": round((t1 - k1 * per_step) * 1e3, 1),
             "roofline_ms": round(roofline_ms, 3),
             "roofline_fraction": round(roofline_ms / (per_step * 1e3), 3),
+            "achievable_ms": round(achievable_ms, 3),
+            "achievable_fraction": round(achievable_ms / (per_step * 1e3), 3),
+            "floors_ms": {k: round(v, 4) for k, v in floors.items()},
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
