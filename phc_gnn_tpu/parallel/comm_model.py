@@ -117,16 +117,23 @@ def predict_scaling_efficiency(step_time_1chip_s: float,
                                comm_bytes_per_shard: float,
                                num_shards: int,
                                ici_bytes_per_s: float = 4.5e10,
-                               overlap: float = 0.5) -> dict:
+                               overlap: float = 0.0) -> dict:
     """Falsifiable efficiency model for node-sharded scaling over ICI.
 
     Compute splits 1/S (per-node GEMMs, BN, encoders dominate the step —
     KERNELS.md ablation); comm is the modeled wire volume at ICI bandwidth
     (default 45 GB/s per direction per link, TPU v5e ICI; the halo all_to_all
-    rides one link per peer in a ring placement).  ``overlap`` is the fraction
-    of comm XLA's latency-hiding scheduler hides behind the independent
-    bond-encoder compute of the same layer (0 = fully exposed, 1 = free);
-    0.5 is deliberately conservative.
+    rides one link per peer in a ring placement).
+
+    ``overlap`` is the fraction of comm hidden behind independent compute.
+    Round 4 replaced the former hand-waved 0.5 default with SCHEDULE-LEVEL
+    EVIDENCE: the halo train step AOT-compiled for a real v5e 2x4 topology
+    (scripts/aot_overlap_check.py, AOT_SCHEDULE.json) contains its 8 halo
+    all-to-alls as SYNCHRONOUS scheduled ops — zero async start/done pairs —
+    so at this config XLA exposes the full comm latency and the honest
+    default is overlap=0.  The returned dict carries both bounds
+    (efficiency at overlap=0 and at full overlap) so callers report a range
+    rather than a point guess.
 
     efficiency = T1 / (S * T_S) where T_S = T1/S + exposed_comm.
     """
@@ -140,4 +147,8 @@ def predict_scaling_efficiency(step_time_1chip_s: float,
         "t_comm_exposed_s": exposed,
         "step_time_s": t_s,
         "efficiency": t_comp / t_s,
+        # evidence-based bounds (AOT schedule shows sync collectives ->
+        # the no-overlap bound is the expectation, full-overlap the ceiling)
+        "efficiency_no_overlap": t_comp / (t_comp + t_comm),
+        "efficiency_full_overlap": 1.0,
     }

@@ -16,9 +16,10 @@ the shard that owns its RECEIVER.  Consequences, by design:
   ordered shard pair (s, t), the list of s-owned rows t needs (padded to the
   static width H = roundup(max cut)); the exchange is one tiled
   ``lax.all_to_all`` of [S*H, d] — comm bytes proportional to the boundary
-  size, not to N.  XLA's latency-hiding scheduler overlaps it with the
-  bond-encoder compute of the same layer, which does not depend on node
-  features.
+  size, not to N.  (Round 4: the AOT v5e 2x4 schedule shows these
+  all_to_alls as SYNCHRONOUS ops — XLA does NOT hide them behind the
+  bond-encoder compute at this config; the comm model therefore predicts
+  with overlap=0, see parallel/comm_model.py and AOT_SCHEDULE.json.)
 
 Replaces the reference's single-GPU assumption (no counterpart); the graph
 analogue of sequence-parallel boundary exchange.  Cross-shard-exact BN uses

@@ -98,7 +98,8 @@ for name, k, n, e in (("B", 2, 8192, 16384), ("C", 4, 4096, 8192)):
     results[name] = tK
 
 # fused masked BN at pcba width
-from phc_gnn_tpu.ops.fused_bn import fused_masked_bn
+from phc_gnn_tpu.ops.fused_bn import (FUSED_BN_VMEM_LIMIT, fused_masked_bn,
+                                      fused_masked_bn_blocked)
 
 for n in (4096, 16384):
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, DIM)),
@@ -112,7 +113,9 @@ for n in (4096, 16384):
     def bn_loop(x, k):
         def body(i, acc):
             kz = jnp.int32(jnp.isnan(acc))
-            out, _, _ = fused_masked_bn(x + kz, mask, scale, bias)
+            kern = (fused_masked_bn if n * DIM * 4 <= FUSED_BN_VMEM_LIMIT
+                    else fused_masked_bn_blocked)  # the nn/norm.py gate
+            out, _, _ = kern(x + kz, mask, scale, bias)
             return acc * 0.5 + jnp.sum(jnp.abs(out))
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 

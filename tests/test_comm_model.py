@@ -145,8 +145,7 @@ def test_predicted_flagship_scaling_meets_target():
     d=200, 4 layers — STATUS.md round-2 measurements) under the modeled halo
     volume predicts >=80 % efficiency at ep=4 on v5e ICI.  This is the
     falsifiable claim hardware will check: if the measured efficiency
-    undershoots, either the volume pin above or the bandwidth/overlap
-    constants are wrong — the test documents which constants were assumed."""
+    undershoots, either the volume pin above or the bandwidth constant is wrong — the test documents which constants were assumed."""
     batch = synthetic_batch(batch_size=128, num_nodes=4096, num_edges=8192,
                             seed=3)
     vol = step_comm_volume(batch, 4, layer_dims=[200] * 4, pooled_dim=200,
@@ -154,4 +153,8 @@ def test_predicted_flagship_scaling_meets_target():
     pred = predict_scaling_efficiency(
         step_time_1chip_s=1.91e-3,
         comm_bytes_per_shard=vol["total_bytes"], num_shards=4)
-    assert pred["efficiency"] >= 0.80, pred
+    # round 4: the AOT-compiled v5e 2x4 schedule shows the halo all_to_alls
+    # as SYNCHRONOUS ops (AOT_SCHEDULE.json), so the prediction asserts the
+    # NO-overlap bound — the former overlap=0.5 point guess is retired
+    assert pred["efficiency_no_overlap"] >= 0.80, pred
+    assert pred["efficiency"] <= pred["efficiency_full_overlap"]
