@@ -46,7 +46,7 @@ class GraphsTuple:
     y: Optional[jax.Array] = None  # [G_pad, target_dim] labels (NaN = missing)
     # streaming-scan plan (optional; ops/stream_scan.py — requires edges
     # sorted by receiver, which batch_graphs/the native packer guarantee)
-    scan_flags: Optional[jax.Array] = None   # [EB, 1] f32 segment starts
+    scan_flags: Optional[jax.Array] = None   # [EB, 2*log2(B)+2] f32 packed scan gates
     scan_cont: Optional[jax.Array] = None    # [NB] i32 block continuation bits
     last_edge: Optional[jax.Array] = None    # [N_pad] i32 last edge per node (-1 none)
     # node-sharded halo plan (parallel/halo.py): per-shard send lists; when

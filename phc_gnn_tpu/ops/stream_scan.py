@@ -68,14 +68,88 @@ DEFAULT_SCAN_BLOCK = 256  # BE: edge rows per grid step.  Swept on-chip
 
 
 
+def _pack_scan_gates(flags: np.ndarray, block_edges: int) -> np.ndarray:
+    """Precompute the per-pass combine gates of the segmented scan ON HOST.
+
+    Round 4: the in-kernel flag evolution (log2(BE) roll/max passes over a
+    [BE, 1] column, run per kernel invocation) is a pure function of the
+    static plan, so the host bakes it into the plan once per bucket shape.
+    Kernels then read one gate lane per pass — each data pass becomes a
+    single roll+combine — cutting ~40 % of the scan kernels' VPU work
+    (flag columns are half the vreg count of the 200-lane data).
+
+    Returns [EB, 2*NP+2] f32, NP = log2(BE):
+      lanes [0, NP)        forward-scan gates (gate_s = (1-ff)*valid, the
+                           exact per-pass combine mask of `_scan_gates`)
+      lane  NP             s0 — rows of the block's leading run (the
+                           cross-block carry mask)
+      lanes [NP+1, 2NP+1)  suffix-scan gates over the segment-END flags
+                           (eflags[i] = flags[i+1] globally)
+      lane  2NP+1          t0 — rows of the block's trailing run (the
+                           reverse cross-block carry mask)
+    """
+    eb = flags.shape[0]
+    nb = eb // block_edges
+    be = block_edges
+    np_passes = be.bit_length() - 1
+    assert be == 1 << np_passes, "scan block must be a power of two"
+    r = np.arange(be)
+    fb = flags.reshape(nb, be).astype(np.float32)
+    out = np.zeros((nb, be, 2 * np_passes + 2), np.float32)
+
+    # forward gates + s0 (mirrors _scan_core's former in-kernel evolution)
+    ff = fb.copy()
+    ff[:, 0] = 1.0
+    s = 1
+    for p in range(np_passes):
+        valid = (r >= s).astype(np.float32)
+        fs = np.roll(ff, s, axis=1)
+        fs = np.maximum(fs * valid, 1.0 - valid)
+        out[:, :, p] = (1.0 - ff) * valid
+        ff = np.maximum(ff, fs)
+        s *= 2
+    fl = fb.copy()
+    fl[:, 0] = 0.0
+    s = 1
+    for p in range(np_passes):
+        fl = np.maximum(fl, np.roll(fl, s, axis=1) * (r >= s))
+        s *= 2
+    out[:, :, np_passes] = (fl == 0.0)
+
+    # suffix gates + t0 over global eflags (last global row ends its segment)
+    ef = np.concatenate([flags[1:], [1.0]]).astype(np.float32)
+    eb_ = ef.reshape(nb, be)
+    gg = eb_.copy()
+    gg[:, be - 1] = 1.0
+    s = 1
+    for p in range(np_passes):
+        valid = (r < be - s).astype(np.float32)
+        gs = np.roll(gg, -s, axis=1)
+        gs = np.maximum(gs * valid, 1.0 - valid)
+        out[:, :, np_passes + 1 + p] = (1.0 - gg) * valid
+        gg = np.maximum(gg, gs)
+        s *= 2
+    gl = eb_.copy()
+    gl[:, be - 1] = 0.0
+    s = 1
+    for p in range(np_passes):
+        gl = np.maximum(gl, np.roll(gl, -s, axis=1) * (r < be - s))
+        s *= 2
+    out[:, :, 2 * np_passes + 1] = (gl == 0.0)
+    return out.reshape(eb, 2 * np_passes + 2)
+
+
 def build_scan_plan(receivers: np.ndarray, num_nodes: int,
                     block_edges: int = DEFAULT_SCAN_BLOCK):
     """Host-side static plan for a receiver array sorted ascending.
 
-    Returns (flags [E,1] f32 segment-start indicators, cont [NB] i32
-    continuation bits, last_edge [N] i32 index of each node's last edge or -1).
-    Padding edges must already point at the last node row with mask False —
-    they simply extend its segment and are zeroed by the caller.
+    Returns (gates [E, 2*log2(block)+2] f32 packed per-pass scan gates —
+    see _pack_scan_gates; round 4 replaced the former [E, 1] raw start
+    flags, whose evolution the kernels used to recompute every invocation —
+    cont [NB] i32 continuation bits, last_edge [N] i32 index of each node's
+    last edge or -1).  Padding edges must already point at the last node row
+    with mask False — they simply extend its segment and are zeroed by the
+    caller.
     """
     receivers = np.asarray(receivers, np.int64)
     e = receivers.shape[0]
@@ -93,7 +167,8 @@ def build_scan_plan(receivers: np.ndarray, num_nodes: int,
     last = np.full(num_nodes, -1, np.int64)
     if e > 0:
         last[receivers] = np.arange(e)  # ascending -> final write is the max
-    return flags.reshape(-1, 1), cont, last.astype(np.int32)
+    gates = _pack_scan_gates(flags, block_edges)
+    return gates, cont, last.astype(np.int32)
 
 
 def build_sender_plan(senders: np.ndarray, num_src_rows: int,
@@ -139,35 +214,25 @@ _NEG = -(2.0 ** 100)  # max-scan identity: a POWER OF TWO so the bf16
 # -1e30 would make all-masked segments compute exp(logit-segmax) = inf)
 
 
-def _scan_gates(f, be):
-    """Per-pass combine gates of the segmented scan's flag evolution.
+def _num_passes(gref):
+    """Passes NP from a packed-gates ref/array of L = 2*NP+2 lanes."""
+    return (gref.shape[1] - 2) // 2
 
-    The flag doubling is STREAM-INDEPENDENT: gate_s = (1 - ff_s) * valid_s
-    depends only on the segment-start flags, so kernels scanning several
-    equally-flagged streams (the softmax max + [w*m, w] trio) compute the
-    gates ONCE and replay them per stream (round 4 — the round-2/3 form
-    re-derived the flag evolution inside every scan_stream call, ~2x the
-    flag-column VPU work in the fused softmax kernel).
 
-    A measured non-win recorded in KERNELS.md round 4: replacing the
-    log2(BE) full-width passes with a two-phase scan (8-row sublane groups +
-    compacted 32-row combine) LOSES on-chip whether the group tails are
-    compacted by one-hot MXU matmuls (~1.8x slower; HIGHEST-precision
-    selection) or by reshape/slice/repeat relayouts (~1.8x slower) — rolls
-    by multiples of 8 are tile-granular vreg moves, so the deep passes this
-    would eliminate are the cheap ones."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-    ff = jnp.where(iota == 0, 1.0, f)  # barrier: row 0 starts the block scan
-    gates = []
-    s = 1
-    while s < be:
-        valid = (iota >= s).astype(f.dtype)
-        fs = pltpu.roll(ff, s, axis=0)
-        fs = jnp.maximum(fs * valid, 1.0 - valid)
-        gates.append((s, (1.0 - ff) * valid))
-        ff = jnp.maximum(ff, fs)
-        s *= 2
-    return gates
+def _fwd_gates(g, be):
+    """(shift, gate) pairs + s0 from the packed host-built gate lanes.
+
+    Round 4: gates are precomputed on host (`_pack_scan_gates`) — each data
+    pass is one roll+combine, with NO in-kernel flag evolution.  (The
+    earlier depth-reduction attempt — a two-phase scan over 8-row sublane
+    groups — is a measured non-win recorded in KERNELS.md round 4: rolls by
+    multiples of 8 are tile-granular vreg moves, so the deep passes it
+    would eliminate are the cheap ones, and the compaction relayouts or
+    selection matmuls cost more than they save.)"""
+    np_ = _num_passes(g)
+    gates = [(1 << p, g[:, p:p + 1]) for p in range(np_)]
+    s0 = g[:, np_:np_ + 1]
+    return gates, s0
 
 
 def _scan_with_gates(v, gates, op: str):
@@ -180,20 +245,6 @@ def _scan_with_gates(v, gates, op: str):
         else:
             v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
     return v
-
-
-def _s0_mask(f, be):
-    """s0[i] = 1 iff no segment start among block rows 1..i — the rows the
-    cross-block carry applies to (an inclusive prefix-max of the flags with
-    row 0 zeroed; cumsum has no Pallas TPU lowering)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-    fl = jnp.where(iota == 0, 0.0, f)
-    s = 1
-    while s < be:
-        fl = jnp.maximum(fl, pltpu.roll(fl, s, axis=0)
-                         * (iota >= s).astype(fl.dtype))
-        s *= 2
-    return (fl == 0.0).astype(f.dtype)
 
 
 def _apply_carry(v, s0gate, carry, op: str):
@@ -224,8 +275,7 @@ def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
         if carry2 is not None:
             carry2[...] = jnp.full_like(carry2, ident)
 
-    f = flags_ref[...]  # [BE, 1] 1.0 = segment start
-    gates = _scan_gates(f, be)
+    gates, s0 = _fwd_gates(flags_ref[...], be)  # packed host-built lanes
     v1 = _scan_with_gates(v1_in, gates, op)
     if v2_in is not None:
         v2 = _scan_with_gates(v2_in, gates, op)
@@ -233,7 +283,7 @@ def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
     # continuation: fold the carried trailing-segment partial into every row
     # of this block's FIRST run
     use_carry = (b > 0) & (cont_ref[b] == 1)
-    s0gate = _s0_mask(f, be) * jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
+    s0gate = s0 * jnp.where(use_carry, 1.0, 0.0).astype(v1.dtype)
     v1 = _apply_carry(v1, s0gate, carry, op)
     if v2_in is not None:
         v2 = _apply_carry(v2, s0gate, carry2, op)
@@ -261,49 +311,34 @@ def _scan_kernel_pair(cont_ref, flags_ref, vals_ref, vals2_ref, out_ref,
                  vals2_ref, out2_ref)
 
 
-def _suffix_max_core(carry_gate, eflags, v, out_ref, carry):
+def _suffix_max_core(carry_gate, g, v, out_ref, carry):
     """Segmented inclusive SUFFIX max of one block, processed on a REVERSED
-    grid (later blocks first).  ``eflags`` [BE, 1] mark segment-END rows
-    (eflags[i] = flags[i+1] globally); ``carry_gate`` is 1.0 when the
-    previously processed (later) block's leading segment continues this
-    block's trailing run.  Emits bf16 (the monotone round-to-nearest of the
-    true suffix max): the forward kernel rounds its in-VMEM prefix max the
-    same way, and max(rnd(prefix), rnd(suffix)) == rnd(true segment max) —
-    still constant across each segment, and the softmax is shift-invariant
-    in the subtracted max, so exactness is unaffected while the [E, D]
+    grid (later blocks first).  ``g`` is the packed host-built gate array
+    (suffix lanes over the segment-END flags — _pack_scan_gates);
+    ``carry_gate`` is 1.0 when the previously processed (later) block's
+    leading segment continues this block's trailing run.  Emits bf16 (the
+    monotone round-to-nearest of the true suffix max): the forward kernel
+    rounds its in-VMEM prefix max the same way, and
+    max(rnd(prefix), rnd(suffix)) == rnd(true segment max) — still constant
+    across each segment, and the softmax is shift-invariant in the
+    subtracted max, so exactness is unaffected while the [E, D]
     intermediate stream's HBM traffic halves (round 4)."""
     be = v.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (be, 1), 0)
-    row_last = iota == be - 1
-    # barrier at the block's last row: within-block scan treats it as an end
-    gg = jnp.where(row_last, 1.0, eflags)
+    np_ = _num_passes(g)
     s = 1
-    while s < be:
+    for p in range(np_):
         vs = pltpu.roll(v, be - s, axis=0)       # vs[i] = v[i + s]
-        gs = pltpu.roll(gg, be - s, axis=0)
-        shifted_valid = (iota < be - s).astype(v.dtype)
-        gs = jnp.maximum(gs * shifted_valid, 1.0 - shifted_valid)
-        gate = (1.0 - gg) * shifted_valid
+        gate = g[:, np_ + 1 + p:np_ + 2 + p]
         v = jnp.maximum(v, jnp.where(gate > 0, vs, _NEG))
-        gg = jnp.maximum(gg, gs)
         s *= 2
-    # carry applies to the trailing run: rows with no segment end at or after
-    # them inside this block (suffix-OR of the end flags, last row excluded —
-    # its end-ness is exactly what the carry_gate already encodes)
-    gl = jnp.where(row_last, 0.0, eflags)
-    s = 1
-    while s < be:
-        gs = pltpu.roll(gl, be - s, axis=0)
-        shifted_valid = (iota < be - s).astype(gl.dtype)
-        gl = jnp.maximum(gl, gs * shifted_valid)
-        s *= 2
-    t0 = (gl == 0.0).astype(v.dtype)
+    # carry applies to the trailing run (t0 lane)
+    t0 = g[:, 2 * np_ + 1:2 * np_ + 2]
     v = jnp.maximum(v, jnp.where(t0 * carry_gate > 0, carry[0:1, :], _NEG))
     carry[0:1, :] = v[0:1, :]
     out_ref[...] = v.astype(out_ref.dtype)
 
 
-def _softmax_suffix_max_kernel(cont_ref, beta_ref, eflags_ref, msgs_ref,
+def _softmax_suffix_max_kernel(cont_ref, beta_ref, gates_ref, msgs_ref,
                                mask_ref, out_ref, carry):
     """Reverse-grid suffix-max pass of the masked logits (round-3 softmax
     redesign, VERDICT r2 #3): emits, per edge, the max of its segment FROM
@@ -324,7 +359,7 @@ def _softmax_suffix_max_kernel(cont_ref, beta_ref, eflags_ref, msgs_ref,
     gate = jnp.where((t > 0) & (cont_next == 1), 1.0, 0.0)
     v = jnp.where(mask_ref[...] > 0,
                   beta_ref[0] * msgs_ref[...].astype(jnp.float32), _NEG)
-    _suffix_max_core(gate, eflags_ref[...], v, out_ref, carry)
+    _suffix_max_core(gate, gates_ref[...], v, out_ref, carry)
 
 
 def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
@@ -359,13 +394,11 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
 
     m = msgs_ref[...].astype(jnp.float32)
     mask = mask_ref[...]
-    f = flags_ref[...]
     logit = jnp.where(mask > 0, beta_ref[0] * m, _NEG)
 
-    gates = _scan_gates(f, be)
+    gates, s0 = _fwd_gates(flags_ref[...], be)
     use_carry = (b > 0) & (cont_ref[b] == 1)
-    s0gate = (_s0_mask(f, be)
-              * jnp.where(use_carry, 1.0, 0.0).astype(jnp.float32))
+    s0gate = s0 * jnp.where(use_carry, 1.0, 0.0).astype(jnp.float32)
 
     pm = _apply_carry(_scan_with_gates(logit, gates, "max"), s0gate,
                       carry_max, "max")
@@ -389,11 +422,12 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_edges", "interpret"))
-def _segmented_suffix_max(msgs, mask, beta, eflags, cont,
+def _segmented_suffix_max(msgs, mask, beta, gates, cont,
                           block_edges: int = DEFAULT_SCAN_BLOCK,
                           interpret: bool = False):
-    """Segmented suffix max-scan of where(mask, beta*msgs, -1e30), reverse
-    grid (see _softmax_suffix_max_kernel)."""
+    """Segmented suffix max-scan of where(mask, beta*msgs, _NEG), reverse
+    grid (see _softmax_suffix_max_kernel); ``gates`` is the packed plan
+    array (suffix lanes)."""
     eb, d = msgs.shape
     assert eb % block_edges == 0
     nb = eb // block_edges
@@ -402,7 +436,7 @@ def _segmented_suffix_max(msgs, mask, beta, eflags, cont,
         num_scalar_prefetch=2,  # cont, beta
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_edges, 1), rev),
+            pl.BlockSpec((block_edges, gates.shape[1]), rev),
             pl.BlockSpec((block_edges, d), rev),
             pl.BlockSpec((block_edges, 1), rev),
         ],
@@ -415,7 +449,7 @@ def _segmented_suffix_max(msgs, mask, beta, eflags, cont,
         # bf16 stream: monotone-rounded suffix max (see _suffix_max_core)
         out_shape=jax.ShapeDtypeStruct((eb, d), jnp.bfloat16),
         interpret=interpret,
-    )(cont, beta.reshape(1), eflags, msgs, mask)
+    )(cont, beta.reshape(1), gates, msgs, mask)
 
 
 def _softmax_fused_kernel_nw(cont_ref, beta_ref, flags_ref, msgs_ref,
@@ -447,7 +481,7 @@ def _segmented_scan_softmax_fused(msgs, suffmax, mask, beta, flags, cont,
         num_scalar_prefetch=2,  # cont, beta
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_edges, 1), fwd),
+            pl.BlockSpec((block_edges, flags.shape[1]), fwd),
             pl.BlockSpec((block_edges, d), fwd),
             pl.BlockSpec((block_edges, d), fwd),
             pl.BlockSpec((block_edges, 1), fwd),
@@ -481,7 +515,7 @@ def _segmented_scan(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK,
         num_scalar_prefetch=1,  # cont
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_edges, 1), lambda b, c: (b, 0)),
+            pl.BlockSpec((block_edges, flags.shape[1]), lambda b, c: (b, 0)),
             pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
         ],
         out_specs=pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
@@ -509,7 +543,7 @@ def _segmented_scan_max(vals, flags, cont, block_edges: int = DEFAULT_SCAN_BLOCK
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_edges, 1), lambda b, c: (b, 0)),
+            pl.BlockSpec((block_edges, flags.shape[1]), lambda b, c: (b, 0)),
             pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
         ],
         out_specs=pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
@@ -565,7 +599,7 @@ def _segmented_scan_pair(vals, vals2, flags, cont,
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_edges, 1), lambda b, c: (b, 0)),
+            pl.BlockSpec((block_edges, flags.shape[1]), lambda b, c: (b, 0)),
             pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
             pl.BlockSpec((block_edges, d_pad), lambda b, c: (b, 0)),
         ],
@@ -667,11 +701,10 @@ def _softmax_fused_parts(num_nodes, block_edges, interpret, msgs, beta, flags,
     e = msgs.shape[0]
     beta = jnp.asarray(beta, jnp.float32)
     mask_col = _pad_rows(edge_mask_f[:, None], eb)
-    # segment-END flags: eflags[i] = flags[i+1]; the last row ends its segment
-    eflags = jnp.concatenate([flags[1:], jnp.ones((1, 1), flags.dtype)])
     msgs_p = _pad_rows(msgs, eb)
+    # the packed plan carries the suffix gates (host-built, round 4)
     suff = _segmented_suffix_max(jax.lax.stop_gradient(msgs_p), mask_col,
-                                 beta, eflags, cont, block_edges=block_edges,
+                                 beta, flags, cont, block_edges=block_edges,
                                  interpret=interpret)
     numer, denom, w = _segmented_scan_softmax_fused(
         msgs_p, suff, mask_col, beta, flags, cont, block_edges=block_edges,
