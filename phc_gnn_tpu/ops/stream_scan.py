@@ -13,8 +13,9 @@ sequential-grid Pallas kernel computes the *segmented inclusive prefix sum*
 of the message stream along the edge axis:
 
   - per block of BE rows: the classic flag/value segmented scan —
-    log2(BE) shifted adds (`pltpu.roll` down the sublane axis) gated by
-    host-precomputed segment-start flags;
+    log2(BE) shifted adds (`pltpu.roll` down the sublane axis), each gated
+    by a HOST-PRECOMPUTED per-pass gate lane (round 4: the whole flag
+    evolution is baked into the plan, see _pack_scan_gates);
   - a VMEM carry (running sum of the block's trailing segment) propagates
     across grid steps; a host-precomputed `cont[b]` bit says whether block
     b's first row continues the previous block's last segment.

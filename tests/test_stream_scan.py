@@ -379,3 +379,58 @@ def test_twophase_group_boundary_adversarial(op):
         want = seg_max_xla(msgs, plan[0], N, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_gates_match_in_kernel_derivation():
+    """The host-packed gate lanes (round 4, _pack_scan_gates) must equal the
+    flag evolution the kernels used to compute per invocation (round 2/3
+    in-kernel form, re-derived here as an independent numpy reference)."""
+    from phc_gnn_tpu.ops.stream_scan import _pack_scan_gates
+
+    rng = np.random.default_rng(3)
+    be, nb = 64, 3
+    eb = be * nb
+    flags = (rng.random(eb) < 0.25).astype(np.float32)
+    flags[0] = 1.0
+    packed = _pack_scan_gates(flags, be)
+    np_passes = 6
+    assert packed.shape == (eb, 2 * np_passes + 2)
+
+    for b in range(nb):
+        f = flags[b * be:(b + 1) * be]
+        r = np.arange(be)
+        # forward gates: the exact round-3 in-kernel evolution
+        ff = f.copy(); ff[0] = 1.0
+        s = 1
+        for p in range(np_passes):
+            valid = (r >= s).astype(np.float32)
+            fs = np.roll(ff, s); fs = np.maximum(fs * valid, 1.0 - valid)
+            np.testing.assert_array_equal(
+                packed[b * be:(b + 1) * be, p], (1.0 - ff) * valid)
+            ff = np.maximum(ff, fs); s *= 2
+        # s0: prefix-OR of flags with row 0 zeroed, == 0
+        fl = f.copy(); fl[0] = 0.0
+        s = 1
+        for _ in range(np_passes):
+            fl = np.maximum(fl, np.roll(fl, s) * (r >= s)); s *= 2
+        np.testing.assert_array_equal(packed[b * be:(b + 1) * be, np_passes],
+                                      (fl == 0.0).astype(np.float32))
+        # suffix gates over global end flags
+        ef_g = np.concatenate([flags[1:], [1.0]]).astype(np.float32)
+        ef = ef_g[b * be:(b + 1) * be]
+        gg = ef.copy(); gg[be - 1] = 1.0
+        s = 1
+        for p in range(np_passes):
+            valid = (r < be - s).astype(np.float32)
+            gs = np.roll(gg, -s); gs = np.maximum(gs * valid, 1.0 - valid)
+            np.testing.assert_array_equal(
+                packed[b * be:(b + 1) * be, np_passes + 1 + p],
+                (1.0 - gg) * valid)
+            gg = np.maximum(gg, gs); s *= 2
+        gl = ef.copy(); gl[be - 1] = 0.0
+        s = 1
+        for _ in range(np_passes):
+            gl = np.maximum(gl, np.roll(gl, -s) * (r < be - s)); s *= 2
+        np.testing.assert_array_equal(
+            packed[b * be:(b + 1) * be, 2 * np_passes + 1],
+            (gl == 0.0).astype(np.float32))
