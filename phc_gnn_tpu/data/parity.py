@@ -82,6 +82,10 @@ def _both_dirs(pairs: np.ndarray) -> np.ndarray:
 _ZINC_W = np.random.default_rng(714).normal(size=ZINC_ATOM_DIMS[0])
 _ZINC_B = np.random.default_rng(715).normal(size=ZINC_BOND_DIMS[0])
 _HIV_W = np.random.default_rng(716).normal(size=ATOM_FEATURE_DIMS[0])
+_PCBA_NT = 8  # multi-task count of the pcba-like parity task
+_PCBA_W = np.random.default_rng(923).normal(
+    size=(_PCBA_NT, ATOM_FEATURE_DIMS[0]))
+_PCBA_C = np.random.default_rng(531).normal(size=(_PCBA_NT, 3))
 
 
 def _zinc_graph(rng) -> dict:
@@ -128,6 +132,22 @@ def _hiv_graph(rng) -> dict:
             "_score": score}
 
 
+def _pcba_graph(rng) -> dict:
+    """hiv-like featurization with _PCBA_NT per-task teacher scores (each
+    task mixes its own atom-type weights with ring/degree/column-3 structure
+    — reference benchmarks/train_pcba.py's multi-task setting)."""
+    g = _hiv_graph(rng)
+    x, ei = g["x"], g["edge_index"]
+    n = x.shape[0]
+    deg = np.bincount(ei[1], minlength=n)
+    base = np.array([float(deg.std()), float(x[:, 3].mean()), 1.0])
+    g.pop("_score")  # drop _hiv_graph's single-task teacher
+    feats = _PCBA_W[:, x[:, 0]].sum(axis=1) / np.sqrt(n)
+    g["_scores"] = (feats + _PCBA_C @ base
+                    + rng.normal(size=_PCBA_NT) * 0.35)
+    return g
+
+
 def make_parity_graphs(task: str, seed: int = 0,
                        splits: Dict[str, int] = None) -> Dict[str, List[dict]]:
     """Generate the split dict deterministically.  For the hiv task, the
@@ -138,7 +158,8 @@ def make_parity_graphs(task: str, seed: int = 0,
     out: Dict[str, List[dict]] = {}
     for si, (part, count) in enumerate(sorted(splits.items())):
         rng = np.random.default_rng(seed * 1009 + 17 * si + 3)
-        gen = _zinc_graph if task == "zinc" else _hiv_graph
+        gen = {"zinc": _zinc_graph, "hiv": _hiv_graph,
+               "pcba": _pcba_graph}[task]
         out[part] = [gen(rng) for _ in range(count)]
     if task == "zinc":
         # standardize by train statistics: the raw teacher carries a large
@@ -158,6 +179,19 @@ def make_parity_graphs(task: str, seed: int = 0,
                 if rng.random() < 0.05:
                     label = 1.0 - label
                 g["y"] = np.array([label], np.float32)
+    if task == "pcba":
+        # per-task median thresholds + 5 % flip noise + 50 % NaN holes (the
+        # molpcba label pattern the masked-BCE / AP path must handle)
+        scores = np.stack([g["_scores"] for g in out["train"]])
+        thr = np.median(scores, axis=0)
+        for si, (part, graphs) in enumerate(sorted(out.items())):
+            rng = np.random.default_rng(seed * 3023 + 41 * si + 7)
+            for g in graphs:
+                y = (g.pop("_scores") > thr).astype(np.float32)
+                flip = rng.random(_PCBA_NT) < 0.05
+                y[flip] = 1.0 - y[flip]
+                y[rng.random(_PCBA_NT) < 0.5] = np.nan
+                g["y"] = y
     return out
 
 
@@ -221,5 +255,6 @@ def generate_parity_dataset(task: str, root: str, seed: int = 0,
     if task == "zinc":
         write_zinc_npz(root, data)
         return root
-    write_ogb_dir(os.path.join(root, "ogbg_molhiv"), data)
+    dirname = {"hiv": "ogbg_molhiv", "pcba": "ogbg_molpcba"}[task]
+    write_ogb_dir(os.path.join(root, dirname), data)
     return root

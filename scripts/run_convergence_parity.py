@@ -86,6 +86,16 @@ HPARAMS = {
                  batch_size=128, epochs=40, seed=0, min_lr=1e-6,
                  atom_dims=[28], bond_dims=[4], target_dim=1,
                  metric="mae", mode="min"),
+    "pcba": dict(phm_dim=2, input_embed_dim=64, mp_units="64,64",
+                 d_units="96,48", mlp_mp=False, aggr_msg="sum",
+                 aggr_node="sum", sc_type="last", pooling="softattention",
+                 dropout_mpnn="0.1,0.1", dropout_dn="0.3,0.1",
+                 weightdecay=1e-4, weightdecay2=0.0, regularization=2,
+                 grad_clipping=2.0, lr=1e-3, patience=5, factor=0.75,
+                 batch_size=128, epochs=30, seed=0, min_lr=1e-6,
+                 atom_dims=[119, 5, 12, 12, 10, 6, 6, 2, 2],
+                 bond_dims=[5, 6, 2], target_dim=8,
+                 metric="ap", mode="max"),
     "hiv": dict(phm_dim=4, input_embed_dim=96, mp_units="96,96",
                 d_units="64,32", mlp_mp=True, aggr_msg="softmax",
                 aggr_node="softmax", sc_type="first", pooling="softattention",
@@ -135,7 +145,7 @@ def to_data_list(graphs, task):
     out = []
     for g in graphs:
         y = torch.from_numpy(np.asarray(g["y"], np.float32))
-        if task == "hiv":
+        if task in ("hiv", "pcba"):
             y = y.reshape(1, -1)
         out.append(Data(x=torch.from_numpy(g["x"]),
                         edge_index=torch.from_numpy(g["edge_index"]),
@@ -230,7 +240,8 @@ def run_reference(task, hp, data, out_dir):
                    test_loader, device, evaluator, t0)
     else:
         from ogb.graphproppred import Evaluator
-        evaluator = Evaluator("ogbg-molhiv")
+        evaluator = Evaluator({"hiv": "ogbg-molhiv",
+                               "pcba": "ogbg-molpcba"}[task])
         mod.do_run(1, model, args, CustomRemoveIsolatedNodes(), train_loader,
                    valid_loader, test_loader, device, evaluator)
     print(f"[reference] {task} done in {time.time() - t0:.0f}s")
@@ -294,6 +305,7 @@ def run_ours(task, hp, data_root, out_dir, init_path, platform):
             "--aggr_node", hp["aggr_node"],
             "--sc_type", hp["sc_type"],
             "--pooling", hp["pooling"],
+            "--target_dim", str(hp.get("target_dim", 1)),
             ]
     env = dict(os.environ)
     env.pop("PHC_DATA_ROOT", None)
@@ -319,7 +331,8 @@ def run_ours(task, hp, data_root, out_dir, init_path, platform):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["zinc", "hiv"], required=True)
+    ap.add_argument("--task", choices=["zinc", "hiv", "pcba"],
+                    required=True)
     ap.add_argument("--out", default=os.path.join(REPO, "parity_runs"))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny dataset + 3 epochs: plumbing check only")

@@ -98,3 +98,23 @@ def test_records_share_config():
         assert rec["generator_seed"] == 7
     assert load("zinc")["hparams"]["aggr_msg"] == "sum"
     assert load("hiv")["hparams"]["aggr_msg"] == "softmax"
+
+
+def test_pcba_record():
+    """Round-4 third config: multi-task NaN-holed BCE + AP (the molpcba
+    label pattern) — phm_dim=2, sum aggregation, mlp_mp=False, 8 tasks with
+    ~50 % missing labels.  Same harness, bars as the hiv record (AP lives on
+    the same ~[0,1] scale)."""
+    rec = load("pcba")
+    ref, ours = rec["reference"], rec["ours"]
+    assert len(ref["val_metric"]) >= 30 and len(ours["val_metric"]) >= 30
+    assert rec["hparams"]["phm_dim"] == 2
+    assert rec["hparams"]["target_dim"] == 8
+    assert abs(ref["best_val"] - ours["best_val"]) < 0.02
+    assert abs(ref["test_bestval"] - ours["test_bestval"]) < 0.02
+    a, b = rmed(ref["val_metric"]), rmed(ours["val_metric"])
+    n = min(len(a), len(b))
+    assert np.max(np.abs(a[:n] - b[:n])) < 0.05
+    # non-vacuous: both sides climb >= 0.1 AP from epoch 0
+    assert ref["best_val"] - ref["val_metric"][0] > 0.1
+    assert ours["best_val"] - ours["val_metric"][0] > 0.1
