@@ -3,7 +3,11 @@ at flagship shapes, then a slope-method timing comparison.
 
 Run: timeout 900 python scripts/verify_stream_scan_tpu.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
