@@ -317,13 +317,12 @@ def _suffix_max_core(carry_gate, g, v, out_ref, carry):
     grid (later blocks first).  ``g`` is the packed host-built gate array
     (suffix lanes over the segment-END flags — _pack_scan_gates);
     ``carry_gate`` is 1.0 when the previously processed (later) block's
-    leading segment continues this block's trailing run.  Emits bf16 (the
-    monotone round-to-nearest of the true suffix max): the forward kernel
-    rounds its in-VMEM prefix max the same way, and
-    max(rnd(prefix), rnd(suffix)) == rnd(true segment max) — still constant
-    across each segment, and the softmax is shift-invariant in the
-    subtracted max, so exactness is unaffected while the [E, D]
-    intermediate stream's HBM traffic halves (round 4)."""
+    leading segment continues this block's trailing run.  (A bf16 variant of
+    this stream — monotone rounding commutes with max, so segmax stays
+    segment-constant — was tried in round 4 and reverted: no measurable
+    op-level win, and the rounding noise, amplified on cancellation-heavy
+    segments, pushed the on-chip exactness scripts past their strict
+    pure-relative bars.  KERNELS.md round 4.)"""
     be = v.shape[0]
     np_ = _num_passes(g)
     s = 1
@@ -378,12 +377,8 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
     the eval/inference path drops the ``out_w`` output entirely — an [E, D]
     HBM write that only the backward reads (round 4, VERDICT r3 weak #6).
 
-    Round 4: the max scan and the [w*m, w] pair share ONE set of flag gates
-    and ONE s0 mask (they scan the same segment structure), removing the
-    duplicated flag-evolution and carry-mask passes the three nested
-    _scan_core calls used to pay; the prefix max is rounded to bf16 before
-    combining with the (bf16) suffix stream so segmax stays segment-constant
-    (monotone rounding commutes with max)."""
+    Round 4: the gates and the s0 mask are read once from the host-packed
+    plan and shared across the kernel's three scans (max + w*m + w)."""
     b = pl.program_id(0)
     be = msgs_ref.shape[0]
 
@@ -404,10 +399,7 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
     pm = _apply_carry(_scan_with_gates(logit, gates, "max"), s0gate,
                       carry_max, "max")
     carry_max[0:1, :] = pm[be - 1:be, :]
-    # bf16 rounding is monotone: max(rnd(prefix), rnd(suffix)) = rnd(segmax),
-    # constant across the segment; softmax is shift-invariant in segmax
-    segmax = jnp.maximum(pm.astype(jnp.bfloat16).astype(jnp.float32),
-                         suffmax_ref[...].astype(jnp.float32))
+    segmax = jnp.maximum(pm, suffmax_ref[...])
     w = mask * jnp.exp(logit - segmax)
     if out_w is not None:
         out_w[...] = w
@@ -447,8 +439,7 @@ def _segmented_suffix_max(msgs, mask, beta, gates, cont,
     return pl.pallas_call(
         _softmax_suffix_max_kernel,
         grid_spec=grid_spec,
-        # bf16 stream: monotone-rounded suffix max (see _suffix_max_core)
-        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((eb, d), jnp.float32),
         interpret=interpret,
     )(cont, beta.reshape(1), gates, msgs, mask)
 
