@@ -66,6 +66,7 @@ def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
     t_gather = timed_op(
         lambda k: jnp.sum(jnp.abs(jnp.take(xn + k, snd, axis=0))))
     t_gemm = timed_op(lambda k: jnp.sum(jnp.abs((xn + k) @ w)))
+    degenerate = min(t_stream, t_node, t_gather, t_gemm) <= 0.0
     t_stream, t_node, t_gather, t_gemm = (
         max(t, 0.0) for t in (t_stream, t_node, t_gather, t_gemm))
 
@@ -84,7 +85,12 @@ def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
         "phm_gemms": layers * 2 * 3 * t_gemm,          # 2 linears, fwd+2bwd
         "fixed": 4 * t_node + 1 * t_gemm,
     }
-    return {k: v * 1e3 for k, v in fl.items()}  # ms
+    out = {k: v * 1e3 for k, v in fl.items()}  # ms
+    if degenerate:
+        # a negative slope means tunnel noise swamped a micro-op this run —
+        # flag it so a garbage achievable_fraction is self-describing
+        out["_degenerate"] = 1.0
+    return out
 
 
 def inner():
@@ -192,7 +198,7 @@ def inner():
     n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, dim
     layers = 4
     floors = achievable_floors(n_nodes, n_edges, d, layers, timed_op)
-    achievable_ms = sum(floors.values())
+    achievable_ms = sum(v for k, v in floors.items() if not k.startswith("_"))
 
     # crude roofline lower bound (round 1-3 continuity): GEMM FLOPs at the
     # ~158 TFLOP/s large-matmul rate + activation traffic at ~800 GB/s peak
