@@ -57,7 +57,7 @@ class GraphsTuple:
     # message gather's backward scatter dx[senders] += g into a streamed
     # segment-sum over sorted senders (the >=16k gather-locality fix)
     snd_perm: Optional[jax.Array] = None     # [E_pad] i32 sort-by-sender perm
-    snd_flags: Optional[jax.Array] = None    # [EB, 1] f32 segment starts
+    snd_flags: Optional[jax.Array] = None    # [EB, 2*log2(B)+2] f32 packed scan gates
     snd_cont: Optional[jax.Array] = None     # [NB] i32 continuation bits
     snd_last: Optional[jax.Array] = None     # [N_src] i32 last sorted edge/-1
 

@@ -151,6 +151,9 @@ def build_scan_plan(receivers: np.ndarray, num_nodes: int,
     last edge or -1).  Padding edges must already point at the last node row
     with mask False — they simply extend its segment and are zeroed by the
     caller.
+
+    ``block_edges`` must be a power of two (the packed gate lanes encode one
+    roll+combine pass per bit; _pack_scan_gates asserts this).
     """
     receivers = np.asarray(receivers, np.int64)
     e = receivers.shape[0]
@@ -194,7 +197,8 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK,
     return a copy carrying it (scan_flags / scan_cont / last_edge — see
     graph/batch.py), plus the sender-sorted plan for the message-gather
     backward (snd_*).  Requires receiver-sorted edges (batch_graphs and the
-    native packer both guarantee it; asserted here)."""
+    native packer both guarantee it; asserted here).  ``block_edges`` must
+    be a power of two (see build_scan_plan)."""
     recv = np.asarray(batch.receivers)
     assert recv.ndim == 1 and np.all(recv[1:] >= recv[:-1]), \
         "scan plan needs receiver-sorted edges"
@@ -220,7 +224,7 @@ def _num_passes(gref):
     return (gref.shape[1] - 2) // 2
 
 
-def _fwd_gates(g, be):
+def _fwd_gates(g):
     """(shift, gate) pairs + s0 from the packed host-built gate lanes.
 
     Round 4: gates are precomputed on host (`_pack_scan_gates`) — each data
@@ -276,7 +280,7 @@ def _scan_core(cont_ref, flags_ref, v1_in, v2_in, out_ref, out2_ref, carry,
         if carry2 is not None:
             carry2[...] = jnp.full_like(carry2, ident)
 
-    gates, s0 = _fwd_gates(flags_ref[...], be)  # packed host-built lanes
+    gates, s0 = _fwd_gates(flags_ref[...])  # packed host-built lanes
     v1 = _scan_with_gates(v1_in, gates, op)
     if v2_in is not None:
         v2 = _scan_with_gates(v2_in, gates, op)
@@ -392,7 +396,7 @@ def _softmax_fused_kernel(cont_ref, beta_ref, flags_ref, msgs_ref,
     mask = mask_ref[...]
     logit = jnp.where(mask > 0, beta_ref[0] * m, _NEG)
 
-    gates, s0 = _fwd_gates(flags_ref[...], be)
+    gates, s0 = _fwd_gates(flags_ref[...])
     use_carry = (b > 0) & (cont_ref[b] == 1)
     s0gate = s0 * jnp.where(use_carry, 1.0, 0.0).astype(jnp.float32)
 

@@ -340,9 +340,11 @@ def test_attach_scan_plan_emits_sender_plan():
 
 
 @pytest.mark.parametrize("op", ["sum", "softmax", "max"])
-def test_twophase_group_boundary_adversarial(op):
-    """Round-4 two-phase scan (fine 8-row groups + coarse tail combine):
-    exhaustive segment-boundary phases vs the 8-row group structure.
+def test_segment_boundary_phases_adversarial(op):
+    """Exhaustive segment-boundary phases for the single-phase packed-gates
+    scan (the round-4 two-phase design was measured as a non-win and
+    rejected — KERNELS.md round 4 — but this boundary sweep keeps pinning
+    the shipped kernel).
 
     Builds a receiver stream whose segment lengths sweep 1..17 so starts land
     on every position mod 8, segments span exactly one / several groups, and
