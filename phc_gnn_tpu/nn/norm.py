@@ -228,9 +228,14 @@ class QuaternionWhiteningNorm(nn.Module):
         x = x.astype(jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((4, d), jnp.float32))
+        # torch-exact stat init: the reference's reset_running_stats fills the
+        # whole [4,4,F] running covariance with ONES (quaternion/norm.py:240
+        # running_var.fill_(1)), not the identity — the all-ones 4x4 (+ eps*I)
+        # is what eval-mode whitening sees until the EMA washes it out, so the
+        # early-epoch eval trajectory only matches torch if we start there too
         ra_cov = self.variable(
             "batch_stats", "cov",
-            lambda: jnp.broadcast_to(jnp.eye(4)[..., None], (4, 4, d)).astype(jnp.float32))
+            lambda: jnp.ones((4, 4, d), jnp.float32))
 
         def _psum(v):
             if self.stat_axis is not None and not self.is_initializing():

@@ -76,6 +76,28 @@ torch.load = _load_compat
 # factor 0.5); hiv-like follows run_script_hiv_phm4.sh (softmax aggregation,
 # soft-attention pooling, dropout 0.2/0.3, wd 0.1, factor 0.75).  Widths are
 # scaled ~1/2 from canonical so the torch-CPU side stays minutes, not hours.
+#
+# Round 5 adds the two model families the first three records left uncovered
+# (VERDICT r4 #4):
+#   - "concat": PHMSkipConnectConcat (reference models.py:271 — the
+#     dim-growth skip path).  Trained through the reference's own pcba-style
+#     masked-BCE loop: with ref target_dim=2 the concat downstream's
+#     documented dim quirk (models.py:411 passes phm_dim*target_dim, so the
+#     model emits phm_dim*2 = 8 real logits) lines the output up with the
+#     8-task parity labels; our side runs --type concat --target_dim 8
+#     (forward parity: test_concat_softmax_linear).  The only repair applied
+#     to the reference class is the established divergence-#8 one-line
+#     reshape fix (fixed_concat) without which phm_dim>1 crashes outright.
+#   - "quat": QuaternionSkipConnectAdd with the whitening 'q-batch-norm'
+#     (quaternion/undirectional/models.py:25, quaternion/norm.py:104-276) —
+#     exercises the running-covariance dynamics end to end; ours is
+#     PHCGNN(n=4) with --norm_mp q-batch-norm (forward parity:
+#     test_quaternion_add_whitening_bn).
+#
+# Per-config keys: "script" picks the reference training script family
+# (loss/evaluator plumbing); "family" picks the model class;
+# "ref_target_dim" (default target_dim) is what the reference constructor
+# gets; "model_type"/"norm_mp"/"norm_dn" are forwarded to our CLI.
 HPARAMS = {
     "zinc": dict(phm_dim=4, input_embed_dim=96, mp_units="96,96,96",
                  d_units="96,48", mlp_mp=True, aggr_msg="sum",
@@ -106,12 +128,91 @@ HPARAMS = {
                 atom_dims=[119, 5, 12, 12, 10, 6, 6, 2, 2],
                 bond_dims=[5, 6, 2], target_dim=1,
                 metric="rocauc", mode="max"),
+    "concat": dict(script="pcba", family="phm-concat", phm_dim=4,
+                   input_embed_dim=48, mp_units="48,48", d_units="64,32",
+                   mlp_mp=False, aggr_msg="softmax", aggr_node="softmax",
+                   sc_type="first", pooling="softattention",
+                   dropout_mpnn="0.1,0.1", dropout_dn="0.3,0.1",
+                   weightdecay=1e-4, weightdecay2=0.0, regularization=2,
+                   grad_clipping=2.0, lr=1e-3, patience=5, factor=0.75,
+                   batch_size=128, epochs=30, seed=0, min_lr=1e-6,
+                   atom_dims=[119, 5, 12, 12, 10, 6, 6, 2, 2],
+                   bond_dims=[5, 6, 2], ref_target_dim=2, target_dim=8,
+                   model_type="concat", metric="ap", mode="max"),
+    "quat": dict(script="zinc", family="quat-add", phm_dim=4,
+                 input_embed_dim=96, mp_units="96,96,96", d_units="96,48",
+                 mlp_mp=True, aggr_msg="sum", aggr_node="sum",
+                 sc_type="first", pooling="softattention",
+                 dropout_mpnn="0.0,0.0,0.0", dropout_dn="0.2,0.1",
+                 weightdecay=0.01, weightdecay2=0.0, regularization=2,
+                 grad_clipping=2.0, lr=1e-3, patience=5, factor=0.5,
+                 batch_size=128, epochs=40, seed=0, min_lr=1e-6,
+                 atom_dims=[28], bond_dims=[4], target_dim=1,
+                 norm_mp="q-batch-norm", norm_dn="naive-batch-norm",
+                 metric="mae", mode="min"),
 }
+
+# family -> the reference CLI's --type string (train_hiv.py:65-66 choices);
+# do_run's regularization branch keys off it ("quaternion" in args.type ->
+# quaternion_weight_regularization, else phm_weight_regularization)
+REF_TYPE = {"phm-add": "undirectional-phm-sc-add",
+            "phm-concat": "undirectional-phm-sc-cat",
+            "quat-add": "undirectional-quaternion-sc-add"}
 
 
 def build_ref_model(task, hp):
     """Construct the reference model exactly as its main() would
-    (train_zinc.py:569-584 kwargs)."""
+    (train_zinc.py:537-600 kwargs), for whichever of the three covered
+    families hp selects."""
+    family = hp.get("family", "phm-add")
+    if family == "quat-add":
+        from phc.quaternion.undirectional.models import \
+            QuaternionSkipConnectAdd
+
+        return QuaternionSkipConnectAdd(
+            atom_input_dims=hp["atom_dims"],
+            atom_encoded_dim=hp["input_embed_dim"],
+            bond_input_dims=hp["bond_dims"], naive_encoder=False,
+            init="quaternion", same_dropout=False,
+            mp_layers=[int(v) for v in hp["mp_units"].split(",")],
+            dropout_mpnn=[float(v) for v in hp["dropout_mpnn"].split(",")],
+            norm_mp=hp["norm_mp"], add_self_loops=True,
+            msg_aggr=hp["aggr_msg"], node_aggr=hp["aggr_node"],
+            mlp=hp["mlp_mp"], pooling=hp["pooling"], activation="relu",
+            real_trafo="linear",
+            downstream_layers=[int(v) for v in hp["d_units"].split(",")],
+            target_dim=hp["target_dim"],
+            dropout_dn=[float(v) for v in hp["dropout_dn"].split(",")],
+            norm_dn=hp["norm_dn"], msg_encoder="identity",
+            initial_beta=1.0, learn_beta=True)
+    if family == "phm-concat":
+        from phc.hypercomplex.undirectional.models import \
+            PHMSkipConnectConcat
+
+        from test_full_model_parity import fixed_concat
+
+        cls = fixed_concat(PHMSkipConnectConcat)
+        return cls(
+            phm_dim=hp["phm_dim"], learn_phm=True, phm_rule=None,
+            atom_input_dims=hp["atom_dims"],
+            atom_encoded_dim=hp["input_embed_dim"],
+            bond_input_dims=hp["bond_dims"], naive_encoder=False,
+            mp_layers=[int(v) for v in hp["mp_units"].split(",")],
+            dropout_mpnn=[float(v) for v in hp["dropout_mpnn"].split(",")],
+            w_init="phm", c_init="standard", same_dropout=False,
+            norm_mp="naive-batch-norm", add_self_loops=True,
+            msg_aggr=hp["aggr_msg"], node_aggr=hp["aggr_node"],
+            mlp=hp["mlp_mp"], pooling=hp["pooling"], activation="relu",
+            real_trafo="linear",
+            downstream_layers=[int(v) for v in hp["d_units"].split(",")],
+            target_dim=hp.get("ref_target_dim", hp["target_dim"]),
+            dropout_dn=[float(v) for v in hp["dropout_dn"].split(",")],
+            norm_dn="naive-batch-norm", msg_encoder="identity",
+            aggregators=["mean", "min", "max", "std"],
+            scalers=["identity", "amplification", "attenuation"], deg=None,
+            post_layers=1, msg_scalers=False, initial_beta=1.0,
+            learn_beta=True)
+
     from phc.hypercomplex.undirectional.models import PHMSkipConnectAdd
 
     return PHMSkipConnectAdd(
@@ -136,7 +237,7 @@ def build_ref_model(task, hp):
         post_layers=1, msg_scalers=False, initial_beta=1.0, learn_beta=True)
 
 
-def to_data_list(graphs, task):
+def to_data_list(graphs, script):
     """npz graph dicts -> shim torch_geometric Data objects, with the y shape
     each reference script expects (zinc: (1,) dense scalar, train_zinc.py:193;
     hiv: (1, 1) possibly-NaN task matrix, train_hiv.py:174)."""
@@ -145,7 +246,7 @@ def to_data_list(graphs, task):
     out = []
     for g in graphs:
         y = torch.from_numpy(np.asarray(g["y"], np.float32))
-        if task in ("hiv", "pcba"):
+        if script in ("hiv", "pcba"):
             y = y.reshape(1, -1)
         out.append(Data(x=torch.from_numpy(g["x"]),
                         edge_index=torch.from_numpy(g["edge_index"]),
@@ -157,8 +258,10 @@ def to_data_list(graphs, task):
 def ref_args(task, hp, save_dir):
     """The reference's own argparse namespace (get_parser with patched argv):
     do_run reads seed/n_runs/lr/patience/factor/epochs/... from it."""
-    mod = __import__(f"benchmarks.train_{task}", fromlist=["get_parser"])
+    script = hp.get("script", task)
+    mod = __import__(f"benchmarks.train_{script}", fromlist=["get_parser"])
     argv = ["prog",
+            "--type", REF_TYPE[hp.get("family", "phm-add")],
             "--save_dir", save_dir,
             "--n_runs", "1",
             "--seed", str(hp["seed"]),
@@ -184,7 +287,7 @@ def ref_args(task, hp, save_dir):
             "--pooling", hp["pooling"],
             "--log_weights", "False",
             ]
-    if task == "zinc":
+    if script == "zinc":
         argv += ["--min_lr", str(hp["min_lr"]), "--max_time", "100"]
     old = sys.argv
     try:
@@ -201,8 +304,11 @@ def run_reference(task, hp, data, out_dir):
     from benchmarks.utils import CustomRemoveIsolatedNodes, set_seed_all
     from torch_geometric.data import DataLoader
 
-    from test_full_model_parity import _pin_uninit_biases, transplant
+    from test_full_model_parity import (_pin_uninit_biases, q_transplant,
+                                        transplant)
 
+    script = hp.get("script", task)
+    family = hp.get("family", "phm-add")
     ref_dir = os.path.join(out_dir, "reference")
     os.makedirs(ref_dir, exist_ok=True)
     mod, args = ref_args(task, hp, ref_dir)
@@ -211,37 +317,43 @@ def run_reference(task, hp, data, out_dir):
     # do_run re-seeds with args.seed + i - 1 and calls reset_parameters —
     # replaying that here makes the transplanted init IDENTICAL to the init
     # do_run will produce (the pinned uninit bias element lives in storage the
-    # reset does not touch, so it survives do_run's re-init)
+    # reset does not touch, so it survives do_run's re-init; quaternion
+    # layers initialize every element, so pinning is a no-op there)
     set_seed_all(hp["seed"])
     model.reset_parameters()
     _pin_uninit_biases(model)
-    init = transplant(
-        model, n=hp["phm_dim"], atom_dims=hp["atom_dims"],
-        bond_dims=hp["bond_dims"], aggr=hp["aggr_msg"], mlp=hp["mlp_mp"],
-        pooling=hp["pooling"], norm_mp="naive-batch-norm",
-        norm_dn="naive-batch-norm")
+    if family == "quat-add":
+        init = q_transplant(
+            model, atom_dims=hp["atom_dims"], bond_dims=hp["bond_dims"],
+            aggr=hp["aggr_msg"], mlp=hp["mlp_mp"], pooling=hp["pooling"])
+    else:
+        init = transplant(
+            model, n=hp["phm_dim"], atom_dims=hp["atom_dims"],
+            bond_dims=hp["bond_dims"], aggr=hp["aggr_msg"], mlp=hp["mlp_mp"],
+            pooling=hp["pooling"], norm_mp="naive-batch-norm",
+            norm_dn="naive-batch-norm")
     init = __import__("jax").tree_util.tree_map(
         lambda a: np.array(a), init)
     init_path = os.path.join(out_dir, "init_params.pkl")
     with open(init_path, "wb") as f:
         pickle.dump(init, f)
 
-    train_loader = DataLoader(to_data_list(data["train"], task),
+    train_loader = DataLoader(to_data_list(data["train"], script),
                               batch_size=hp["batch_size"], shuffle=True)
-    valid_loader = DataLoader(to_data_list(data["valid"], task),
+    valid_loader = DataLoader(to_data_list(data["valid"], script),
                               batch_size=hp["batch_size"])
-    test_loader = DataLoader(to_data_list(data["test"], task),
+    test_loader = DataLoader(to_data_list(data["test"], script),
                              batch_size=hp["batch_size"])
     device = torch.device("cpu")
     t0 = time.time()
-    if task == "zinc":
+    if script == "zinc":
         evaluator = mod.Evaluator()
         mod.do_run(1, model, args, None, train_loader, valid_loader,
                    test_loader, device, evaluator, t0)
     else:
         from ogb.graphproppred import Evaluator
         evaluator = Evaluator({"hiv": "ogbg-molhiv",
-                               "pcba": "ogbg-molpcba"}[task])
+                               "pcba": "ogbg-molpcba"}[script])
         mod.do_run(1, model, args, CustomRemoveIsolatedNodes(), train_loader,
                    valid_loader, test_loader, device, evaluator)
     print(f"[reference] {task} done in {time.time() - t0:.0f}s")
@@ -277,8 +389,9 @@ def run_ours(task, hp, data_root, out_dir, init_path, platform):
                    if platform == "cpu" else "")
                 + "sys.argv = sys.argv[1:]; "
                   "runpy.run_path(sys.argv[0], run_name='__main__')")
+    script = hp.get("script", task)
     argv = [sys.executable, "-c", launcher,
-            os.path.join("benchmarks", f"train_{task}.py"),
+            os.path.join("benchmarks", f"train_{script}.py"),
             "--data_root", data_root,
             "--save_dir", ours_dir,
             "--init_from", init_path,
@@ -307,6 +420,13 @@ def run_ours(task, hp, data_root, out_dir, init_path, platform):
             "--pooling", hp["pooling"],
             "--target_dim", str(hp.get("target_dim", 1)),
             ]
+    # family extras: concat model type / whitening norms (our CLI flags)
+    if "model_type" in hp:
+        argv += ["--type", hp["model_type"]]
+    if "norm_mp" in hp:
+        argv += ["--norm_mp", hp["norm_mp"]]
+    if "norm_dn" in hp:
+        argv += ["--norm_dn", hp["norm_dn"]]
     env = dict(os.environ)
     env.pop("PHC_DATA_ROOT", None)
     t0 = time.time()
@@ -331,7 +451,8 @@ def run_ours(task, hp, data_root, out_dir, init_path, platform):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", choices=["zinc", "hiv", "pcba"],
+    ap.add_argument("--task", choices=["zinc", "hiv", "pcba", "concat",
+                                       "quat"],
                     required=True)
     ap.add_argument("--out", default=os.path.join(REPO, "parity_runs"))
     ap.add_argument("--smoke", action="store_true",
@@ -352,9 +473,10 @@ def main():
     out_dir = os.path.join(args.out, args.task + ("_smoke" if args.smoke
                                                   else ""))
     os.makedirs(out_dir, exist_ok=True)
+    data_task = hp.get("script", args.task)  # dataset family = loss family
     data_root = os.path.join(out_dir, "data")
-    generate_parity_dataset(args.task, data_root, seed=7, splits=splits)
-    data = make_parity_graphs(args.task, seed=7, splits=splits)
+    generate_parity_dataset(data_task, data_root, seed=7, splits=splits)
+    data = make_parity_graphs(data_task, seed=7, splits=splits)
 
     init_path, ref_rec = run_reference(args.task, hp, data, out_dir)
     ours_rec = run_ours(args.task, hp, data_root, out_dir, init_path,

@@ -145,6 +145,52 @@ def conv_p(facade, aggr, mlp, n):
     return {"conv": inner}
 
 
+_FIXED_CONCAT_CACHE = {}
+
+
+def fixed_concat(base):
+    """PHMSkipConnectConcat.forward CRASHES for phm_dim>1: the layer-0
+    bond reshape (models.py:486) targets phm_dim*self.input_dim elements
+    but the encoder emits phm_dim*(input_dim//phm_dim) — a latent
+    reference bug (the intended target, consistent with the layer-0 conv's
+    in_features=input_dim, is the flat embed dim).  Oracle = the actual
+    class with only that reshape corrected (PARITY.md divergence #8).
+
+    The class is cached and published under this module's globals so
+    torch.save(model) — which the reference's do_run calls on whole modules —
+    can pickle it by qualified name."""
+    cached = _FIXED_CONCAT_CACHE.get(base)
+    if cached is not None:
+        return cached
+
+    class FixedConcat(base):
+        def forward(self, data, size=None):
+            xx, edge_index, edge_attr, batch = (data.x, data.edge_index,
+                                                data.edge_attr, data.batch)
+            if isinstance(self.bond_input_dims, list):
+                edge_attr = edge_attr.to(torch.long)
+            atom = self.atomencoder(xx)
+            atom = atom.reshape(atom.size(0),
+                                self.phm_dim * self.atom_encoded_dim)
+            h = None
+            for i in range(len(self.mp_layers)):
+                pair = ([atom.clone(), atom.clone()] if i == 0
+                        else [h, atom.clone()])
+                ea = self.bondencoders[i](edge_attr)
+                ea = ea.reshape(ea.size(0), -1)  # the one-line fix
+                h = self.compute_hidden_layer_embedding(
+                    conv=self.convs[i], norm=self.norms[i], x=pair,
+                    edge_index=edge_index, edge_attr=ea,
+                    dropout_mpnn=self.dropout_mpnn[i], size=size)
+            out = self.pooling(x=h, batch=batch)
+            return self.downstream(out)
+
+    FixedConcat.__qualname__ = f"FixedConcat_{base.__name__}"
+    globals()[FixedConcat.__qualname__] = FixedConcat
+    _FIXED_CONCAT_CACHE[base] = FixedConcat
+    return FixedConcat
+
+
 def transplant(ref, *, n, atom_dims, bond_dims, aggr, mlp, pooling, norm_mp,
                norm_dn):
     p = {"atomencoder": enc_p(ref.atomencoder, n, len(atom_dims))}
@@ -183,38 +229,6 @@ def run_parity(seed, *, n=4, embed=32, mp_layers=(32, 32), skip="add",
     atom_dims, bond_dims = [7, 5], [6, 3]
     x, e, s, r, g = make_inputs(seed)
     G = int(g.max()) + 1
-
-    def fixed_concat(base):
-        """PHMSkipConnectConcat.forward CRASHES for phm_dim>1: the layer-0
-        bond reshape (models.py:486) targets phm_dim*self.input_dim elements
-        but the encoder emits phm_dim*(input_dim//phm_dim) — a latent
-        reference bug (the intended target, consistent with the layer-0 conv's
-        in_features=input_dim, is the flat embed dim).  Oracle = the actual
-        class with only that reshape corrected (PARITY.md divergence #8)."""
-
-        class FixedConcat(base):
-            def forward(self, data, size=None):
-                xx, edge_index, edge_attr, batch = (data.x, data.edge_index,
-                                                    data.edge_attr, data.batch)
-                if isinstance(self.bond_input_dims, list):
-                    edge_attr = edge_attr.to(torch.long)
-                atom = self.atomencoder(xx)
-                atom = atom.reshape(atom.size(0),
-                                    self.phm_dim * self.atom_encoded_dim)
-                h = None
-                for i in range(len(self.mp_layers)):
-                    pair = ([atom.clone(), atom.clone()] if i == 0
-                            else [h, atom.clone()])
-                    ea = self.bondencoders[i](edge_attr)
-                    ea = ea.reshape(ea.size(0), -1)  # the one-line fix
-                    h = self.compute_hidden_layer_embedding(
-                        conv=self.convs[i], norm=self.norms[i], x=pair,
-                        edge_index=edge_index, edge_attr=ea,
-                        dropout_mpnn=self.dropout_mpnn[i], size=size)
-                out = self.pooling(x=h, batch=batch)
-                return self.downstream(out)
-
-        return FixedConcat
 
     L = len(mp_layers)
     common = dict(
@@ -339,7 +353,7 @@ def qlin_p(ref):
 def qmlp_p(ref):
     out = {"linear1": qlin_p(ref.qlinear1), "linear2": qlin_p(ref.qlinear2)}
     if ref.norm_flag:
-        out["norm"] = qbn_p(ref.norm)
+        out["norm"] = qnorm_p(ref.norm)
     return out
 
 
@@ -359,10 +373,55 @@ def qbn_p(ref_norm):
         "bias": jnp.asarray(np.stack([m.bias.detach().numpy() for m in bns]))}}
 
 
+def qwbn_p(ref_norm):
+    """QuaternionNorm('q-batch-norm') = full whitening BN
+    (quaternion/norm.py:203-276): learnable Gamma [4,4,F] / beta [4,F] map to
+    our QuaternionWhiteningNorm's gamma/beta under the 'qbn' submodule."""
+    q = ref_norm.bn
+    return {"qbn": {"gamma": jnp.asarray(q.weight.detach().numpy()),
+                    "beta": jnp.asarray(q.bias.detach().numpy())}}
+
+
+def qnorm_p(ref_norm):
+    """Dispatch on the reference QuaternionNorm wrapper's type."""
+    return qwbn_p(ref_norm) if ref_norm.type == "q-batch-norm" \
+        else qbn_p(ref_norm)
+
+
 def qrt_p(ref_rt):
     return {"affine": {
         "kernel": jnp.asarray(ref_rt.affine.weight.detach().numpy().T),
         "bias": jnp.asarray(ref_rt.affine.bias.detach().numpy())}}
+
+
+def q_transplant(ref, *, atom_dims, bond_dims, aggr, mlp, pooling):
+    """Weight transplant for the reference's fixed-n=4 quaternion models
+    (quaternion/undirectional/models.py:25) into our PHCGNN(n=4) param tree.
+    Norm types (naive vs whitening 'q-batch-norm') are read off each
+    QuaternionNorm wrapper."""
+    p = {"atomencoder": qenc_p(ref.atomencoder, len(atom_dims))}
+    for i, be in enumerate(ref.bondencoders):
+        p[f"bondencoder_{i}"] = qenc_p(be, len(bond_dims))
+    for i, facade in enumerate(ref.convs):
+        t = facade.transform
+        inner = {"transform": qmlp_p(t.transform) if mlp
+                 else qlin_p(t.transform)}
+        if aggr == "softmax":
+            inner["beta"] = jnp.asarray(t.beta.detach().numpy())
+        p[f"conv_{i}"] = {"conv": inner}
+    for i, nm in enumerate(ref.norms):
+        p[f"norm_{i}"] = qnorm_p(nm)
+    if pooling == "softattention":
+        p["pooling"] = {"linear": qlin_p(ref.pooling.linear),
+                        "real_trafo": qrt_p(ref.pooling.real_trafo)}
+    ds = {"real_trafo": qrt_p(ref.downstream.real_trafo)}
+    for i, aff in enumerate(ref.downstream.affine):
+        ds[f"affine_{i}"] = qlin_p(aff)
+    if ref.downstream.norm_flag:
+        for i, nm in enumerate(ref.downstream.norm):
+            ds[f"norm_{i}"] = qnorm_p(nm)
+    p["downstream"] = ds
+    return p
 
 
 def run_q_parity(seed, *, embed=32, mp_layers=(32, 32), aggr="softmax",
@@ -406,28 +465,8 @@ def run_q_parity(seed, *, embed=32, mp_layers=(32, 32), aggr="softmax",
     batch = our_batch(x, e, s, r, g, G)
     variables = ours.init(jax.random.key(0), batch, training=True)
 
-    p = {"atomencoder": qenc_p(ref.atomencoder, len(atom_dims))}
-    for i, be in enumerate(ref.bondencoders):
-        p[f"bondencoder_{i}"] = qenc_p(be, len(bond_dims))
-    for i, facade in enumerate(ref.convs):
-        t = facade.transform
-        inner = {"transform": qmlp_p(t.transform) if mlp
-                 else qlin_p(t.transform)}
-        if aggr == "softmax":
-            inner["beta"] = jnp.asarray(t.beta.detach().numpy())
-        p[f"conv_{i}"] = {"conv": inner}
-    for i, nm in enumerate(ref.norms):
-        p[f"norm_{i}"] = qbn_p(nm)
-    if pooling == "softattention":
-        p["pooling"] = {"linear": qlin_p(ref.pooling.linear),
-                        "real_trafo": qrt_p(ref.pooling.real_trafo)}
-    ds = {"real_trafo": qrt_p(ref.downstream.real_trafo)}
-    for i, aff in enumerate(ref.downstream.affine):
-        ds[f"affine_{i}"] = qlin_p(aff)
-    if ref.downstream.norm_flag:
-        for i, nm in enumerate(ref.downstream.norm):
-            ds[f"norm_{i}"] = qbn_p(nm)
-    p["downstream"] = ds
+    p = q_transplant(ref, atom_dims=atom_dims, bond_dims=bond_dims,
+                     aggr=aggr, mlp=mlp, pooling=pooling)
 
     variables = {"params": p, "batch_stats": variables.get("batch_stats", {})}
     y_ours, _ = ours.apply(variables, batch, training=True,
@@ -437,6 +476,13 @@ def run_q_parity(seed, *, embed=32, mp_layers=(32, 32), aggr="softmax",
 
 def test_quaternion_add_softmax_linear():
     run_q_parity(201)
+
+
+def test_quaternion_add_whitening_bn():
+    """Full quaternion model with the whitening 'q-batch-norm' in the MP
+    stack (quaternion/norm.py:104-276) — pins q_transplant's qwbn_p path
+    ahead of the trained-convergence record."""
+    run_q_parity(203, norm_mp="q-batch-norm")
 
 
 def test_quaternion_add_sum_gine_globalsum():
