@@ -83,9 +83,10 @@ def get_parser(dataset: str) -> argparse.ArgumentParser:
                    help="warm-start params from a pickled pytree (e.g. "
                         "weights transplanted from the torch reference)")
     p.add_argument("--batch_size", type=int, default=cfg.batch_size)
-    p.add_argument("--eval_batch_size", type=int, default=None)
-    p.add_argument("--max_nodes", type=int, default=None)
-    p.add_argument("--max_edges", type=int, default=None)
+    p.add_argument("--eval_batch_size", type=int,
+                   default=cfg.eval_batch_size)
+    p.add_argument("--max_nodes", type=int, default=cfg.max_nodes)
+    p.add_argument("--max_edges", type=int, default=cfg.max_edges)
     p.add_argument("--sub_buckets", type=int, default=1,
                    help="bucket-ladder depth: keep this many halving bucket "
                    "sizes and emit each batch at the smallest that fits "

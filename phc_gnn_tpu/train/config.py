@@ -138,8 +138,13 @@ DATASET_DEFAULTS = {
                 dropout_mpnn=(0.3, 0.1), dropout_dn=(0.3, 0.1),
                 d_units=(128, 32), weightdecay=0.001, lr=5e-4, epochs=50,
                 patience=10, factor=0.75, batch_size=128),
+    # logical batch 512 graphs as grad_accum 4 x 128-graph 4096n/8192e
+    # sub-batches: the measured-fastest single-chip recipe (KERNELS.md
+    # round-4 pcba table, 2.18 M vs 1.24 M edges/s for one 16384n bucket);
+    # eval keeps the 512-graph bucket (no accumulation on that path)
     "pcba": dict(metric="ap", loss="bce", scheduler_mode="max", target_dim=128,
-                 aggr_msg="sum", phm_dim=2, batch_size=512,
+                 aggr_msg="sum", phm_dim=2, batch_size=128, grad_accum=4,
+                 max_nodes=4096, max_edges=8192, eval_batch_size=512,
                  input_embed_dim=512,
                  mp_units=(512, 512, 512, 512, 512, 512, 512), mlp_mp=False,
                  dropout_mpnn=(0.1,) * 7, dropout_dn=(0.3, 0.1),

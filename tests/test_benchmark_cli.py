@@ -67,7 +67,7 @@ def test_parser_defaults_match_reference_semantics():
     assert args_z.sc_type == "last" and args_z.aggr_msg == "sum"
     assert args_z.input_embed_dim == 180 and args_z.batch_size == 256
     args_p = get_parser("pcba").parse_args([])
-    assert args_p.phm_dim == 2 and args_p.batch_size == 512
+    assert args_p.phm_dim == 2
     assert args_p.d_units == (768, 256)
     args_ppa = get_parser("ppa").parse_args([])
     assert args_ppa.input_embed_dim == 500 and args_ppa.batch_size == 64
@@ -220,3 +220,26 @@ def test_profile_steps_writes_trace(tmp_path):
     pdir = os.path.join(save, "run_1", "profile")
     found = [f for _, _, fs in os.walk(pdir) for f in fs]
     assert any(f.endswith(".xplane.pb") for f in found), found
+
+
+def test_pcba_canonical_recipe_is_the_measured_one():
+    """The canonical pcba invocation must run the measured-fastest recipe
+    (KERNELS.md round-4 pcba table: grad_accum 4 x 128-graph 4096n/8192e
+    sub-batches = 2.18 M edges/s, vs 1.24 M for one 16384n bucket) — both in
+    DATASET_DEFAULTS and in the committed launcher, so they cannot drift
+    from the measurement (VERDICT r4 weak #5)."""
+    from benchmarks.common import get_parser
+
+    args = get_parser("pcba").parse_args([])
+    assert args.grad_accum == 4 and args.batch_size == 128
+    assert args.max_nodes == 4096 and args.max_edges == 8192
+    assert args.eval_batch_size == 512  # eval path has no accumulation
+    # logical optimizer batch stays the reference's 512 graphs
+    assert args.grad_accum * args.batch_size == 512
+
+    sh = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "run_script_pcba_phm2.sh")
+    text = open(sh).read()
+    for flag in ("--grad_accum 4", "--batch_size 128", "--max_nodes 4096",
+                 "--max_edges 8192", "--eval_batch_size 512"):
+        assert flag in text, flag

@@ -118,3 +118,53 @@ def test_pcba_record():
     # non-vacuous: both sides climb >= 0.1 AP from epoch 0
     assert ref["best_val"] - ref["val_metric"][0] > 0.1
     assert ours["best_val"] - ours["val_metric"][0] > 0.1
+
+
+def test_concat_record():
+    """Round-5 fourth config (VERDICT r4 #4): the CONCAT-skip model family —
+    the actual PHMSkipConnectConcat (reference models.py:271, dim-growth
+    skip path; only the established divergence-#8 reshape fix applied)
+    trained by the reference's own pcba-style masked-BCE loop.  With ref
+    target_dim=2 the concat downstream's documented dim quirk
+    (models.py:411) emits phm_dim*2 = 8 logits, lining up with the 8 parity
+    tasks; ours runs --type concat --target_dim 8 (forward parity:
+    test_concat_softmax_linear)."""
+    rec = load("concat")
+    ref, ours = rec["reference"], rec["ours"]
+    assert len(ref["val_metric"]) >= 30 and len(ours["val_metric"]) >= 30
+    hp = rec["hparams"]
+    assert hp["family"] == "phm-concat" and hp["model_type"] == "concat"
+    assert hp["phm_dim"] == 4 and hp["ref_target_dim"] == 2
+    assert hp["target_dim"] == 8 and hp["aggr_msg"] == "softmax"
+    assert abs(ref["best_val"] - ours["best_val"]) < 0.02
+    assert abs(ref["test_bestval"] - ours["test_bestval"]) < 0.02
+    a, b = rmed(ref["val_metric"]), rmed(ours["val_metric"])
+    n = min(len(a), len(b))
+    assert np.max(np.abs(a[:n] - b[:n])) < 0.05
+    # non-vacuous: both sides climb >= 0.1 AP from epoch 0
+    assert ref["best_val"] - ref["val_metric"][0] > 0.1
+    assert ours["best_val"] - ours["val_metric"][0] > 0.1
+
+
+def test_quat_record():
+    """Round-5 fifth config (VERDICT r4 #4): the QUATERNION family with the
+    whitening 'q-batch-norm' (reference quaternion/undirectional/models.py:25
+    + quaternion/norm.py:104-276) — running 4x4-covariance dynamics through
+    40 epochs of the reference's own zinc loop; ours is PHCGNN(n=4) with
+    --norm_mp q-batch-norm (forward parity: test_quaternion_add_whitening_bn).
+    Bars follow the zinc record (MAE ratio of running medians)."""
+    rec = load("quat")
+    ref, ours = rec["reference"], rec["ours"]
+    assert len(ref["val_metric"]) >= 35 and len(ours["val_metric"]) >= 35
+    hp = rec["hparams"]
+    assert hp["family"] == "quat-add" and hp["norm_mp"] == "q-batch-norm"
+    assert hp["phm_dim"] == 4 and hp["mlp_mp"] is True
+    assert abs(ref["best_val"] - ours["best_val"]) < 0.015
+    assert abs(ref["test_bestval"] - ours["test_bestval"]) < 0.015
+    a, b = rmed(ref["val_metric"]), rmed(ours["val_metric"])
+    n = min(len(a), len(b))
+    ratio = np.maximum(a[4:n], b[4:n]) / np.minimum(a[4:n], b[4:n])
+    assert np.max(ratio) < 1.4, ratio.max()
+    # non-vacuous: both sides cut val MAE by >= 4x from epoch 0
+    assert ref["val_metric"][0] / ref["best_val"] > 4
+    assert ours["val_metric"][0] / ours["best_val"] > 4
