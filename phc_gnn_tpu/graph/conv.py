@@ -56,12 +56,23 @@ def _messages(x, senders, edge_attr, msg_encoder: str, x_remote=None,
     [NS + S*H] array.  When the batch carries a sender-sorted plan (scan_plan
     of length 7, ops/stream_scan.py build_sender_plan), the gather's backward
     scatter runs as a streamed segment-sum — the >=16k locality fix."""
-    src = x if x_remote is None else jnp.concatenate([x, x_remote], axis=0)
-    if scan_plan is not None and len(scan_plan) == 7:
+    if x_remote is not None:
+        # split local/remote gather: the local take does not depend on the
+        # halo all_to_all, so the latency-hiding scheduler overlaps it with
+        # the in-flight exchange (async pairs via HALO_TPU_COMPILER_OPTIONS;
+        # schedule evidence in AOT_SCHEDULE.json)
+        if scan_plan is not None and len(scan_plan) == 7:
+            from phc_gnn_tpu.ops.stream_scan import halo_gather_split_streamed
+            gathered = halo_gather_split_streamed(x, x_remote, senders,
+                                                  *scan_plan[3:])
+        else:
+            from phc_gnn_tpu.ops.stream_scan import split_take
+            gathered = split_take(x, x_remote, senders)
+    elif scan_plan is not None and len(scan_plan) == 7:
         from phc_gnn_tpu.ops.stream_scan import gather_nodes_streamed
-        gathered = gather_nodes_streamed(src, senders, *scan_plan[3:])
+        gathered = gather_nodes_streamed(x, senders, *scan_plan[3:])
     else:
-        gathered = jnp.take(src, senders, axis=0)
+        gathered = jnp.take(x, senders, axis=0)
     return get_activation(msg_encoder)(gathered + edge_attr)
 
 

@@ -811,6 +811,65 @@ def gather_nodes_streamed(x, senders, snd_perm, snd_flags, snd_cont, snd_last,
                                    snd_perm, snd_flags, snd_cont, snd_last)
 
 
+def split_take(x, x_remote, senders):
+    """take(concat([x, x_remote]), senders) with the LOCAL rows gathered
+    directly from ``x``: the local gather has no data dependency on the halo
+    all_to_all that produces ``x_remote``, so the latency-hiding scheduler
+    can run it (the largest single op-class floor, bench.py) while the
+    exchange is in flight — the structural half of the overlap design
+    (VERDICT r4 next #1; parallel/halo.py HALO_TPU_COMPILER_OPTIONS is the
+    async-collective half)."""
+    ns = x.shape[0]
+    local = senders < ns
+    g_local = jnp.take(x, jnp.where(local, senders, 0), axis=0)
+    g_remote = jnp.take(x_remote, jnp.where(local, 0, senders - ns), axis=0)
+    return jnp.where(local[:, None], g_local, g_remote)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _halo_gather_split_op(block_edges, interpret, x, x_remote, senders,
+                          snd_perm, snd_flags, snd_cont, snd_last):
+    return split_take(x, x_remote, senders)
+
+
+def _halo_gs_fwd(block_edges, interpret, x, x_remote, senders, snd_perm,
+                 snd_flags, snd_cont, snd_last):
+    y = split_take(x, x_remote, senders)
+    return y, (senders, snd_perm, snd_flags, snd_cont, snd_last, x.shape[0],
+               jnp.zeros((0,), x.dtype))
+
+
+def _halo_gs_bwd(block_edges, interpret, res, g):
+    """Identical streamed segment-sum backward as _gather_sb_bwd over the
+    combined augmented [NS + S*H] index space (the sender plan covers it),
+    then split into the local and halo cotangents — the halo part feeds the
+    reverse all_to_all."""
+    senders, perm, flags, cont, last, ns, dtype_probe = res
+    g_sorted = jnp.take(g.astype(jnp.float32), perm, axis=0)
+    eb = flags.shape[0]
+    scan = _segmented_scan(_pad_rows(g_sorted, eb), flags, cont,
+                           block_edges=block_edges, interpret=interpret)
+    dsrc = jnp.take(scan, jnp.clip(last, 0, eb - 1), axis=0)
+    dsrc = jnp.where((last >= 0)[:, None], dsrc, 0.0)
+    dsrc = dsrc.astype(dtype_probe.dtype)
+    return (dsrc[:ns], dsrc[ns:], None, None, None, None, None)
+
+
+_halo_gather_split_op.defvjp(_halo_gs_fwd, _halo_gs_bwd)
+
+
+def halo_gather_split_streamed(x, x_remote, senders, snd_perm, snd_flags,
+                               snd_cont, snd_last, interpret: bool = False):
+    """Halo-aware ``concat([x, x_remote])[senders]``: split forward (local
+    rows from x, remote rows from x_remote — see split_take) with the
+    streamed segment-sum backward over the combined augmented space."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    block_edges = snd_flags.shape[0] // snd_cont.shape[0]
+    return _halo_gather_split_op(block_edges, interpret, x, x_remote,
+                                 senders, snd_perm, snd_flags, snd_cont,
+                                 snd_last)
+
+
 # ------------------------------------------------ fixed-aggregator family
 # Streamed counterparts of graph/segment.py's mean/min/max/var/std (the PNA
 # aggregator set, reference phc/hypercomplex/aggregator.py:70-103), each with

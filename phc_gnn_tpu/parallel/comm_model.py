@@ -126,14 +126,20 @@ def predict_scaling_efficiency(step_time_1chip_s: float,
     rides one link per peer in a ring placement).
 
     ``overlap`` is the fraction of comm hidden behind independent compute.
-    Round 4 replaced the former hand-waved 0.5 default with SCHEDULE-LEVEL
-    EVIDENCE: the halo train step AOT-compiled for a real v5e 2x4 topology
-    (scripts/aot_overlap_check.py, AOT_SCHEDULE.json) contains its 8 halo
-    all-to-alls as SYNCHRONOUS scheduled ops — zero async start/done pairs —
-    so at this config XLA exposes the full comm latency and the honest
-    default is overlap=0.  The returned dict carries both bounds
-    (efficiency at overlap=0 and at full overlap) so callers report a range
-    rather than a point guess.
+    Evidence history: round 4's AOT v5e 2x4 schedule showed the 8 halo
+    all-to-alls SYNCHRONOUS (overlap=0 was the honest default).  Round 5
+    changed the facts on the ground (VERDICT r4 next #1): every halo-path
+    jit now compiles with xla_tpu_enable_async_all_to_all
+    (halo.py HALO_TPU_COMPILER_OPTIONS) and the sender gather is split
+    local/remote (ops/stream_scan.py split_take) so the local gather — the
+    largest op-class floor — carries no dependency on the exchange.  The
+    re-run AOT schedule (scripts/aot_overlap_check.py, AOT_SCHEDULE.json)
+    shows all 8 exchanges as async start/done pairs with compute scheduled
+    between the halves.  The conservative default here stays overlap=0 —
+    the schedule proves the *structure* exists, not how many microseconds
+    it hides at a given shape — and the returned dict still carries both
+    bounds; use the AOT pair detail (instructions/fusions between halves)
+    to justify a task-specific overlap argument.
 
     efficiency = T1 / (S * T_S) where T_S = T1/S + exposed_comm.
     """

@@ -16,10 +16,16 @@ the shard that owns its RECEIVER.  Consequences, by design:
   ordered shard pair (s, t), the list of s-owned rows t needs (padded to the
   static width H = roundup(max cut)); the exchange is one tiled
   ``lax.all_to_all`` of [S*H, d] — comm bytes proportional to the boundary
-  size, not to N.  (Round 4: the AOT v5e 2x4 schedule shows these
-  all_to_alls as SYNCHRONOUS ops — XLA does NOT hide them behind the
-  bond-encoder compute at this config; the comm model therefore predicts
-  with overlap=0, see parallel/comm_model.py and AOT_SCHEDULE.json.)
+  size, not to N.  The exchange is OVERLAPPED with local compute (round 5):
+  every halo-path jit compiles with xla_tpu_enable_async_all_to_all
+  (HALO_TPU_COMPILER_OPTIONS below) and the sender gather splits local from
+  remote rows (ops/stream_scan.py split_take) so the local gather carries no
+  dependency on the in-flight exchange.  Schedule-level evidence: the AOT
+  v5e 2x4 compile (scripts/aot_overlap_check.py, AOT_SCHEDULE.json) shows
+  all 8 per-step exchanges as async start/done pairs with compute — conv
+  transform weight-prep fusions, local stream work — scheduled between the
+  halves (round 4's default compile had them synchronous; that baseline is
+  re-recorded in the same JSON for comparison).
 
 Replaces the reference's single-GPU assumption (no counterpart); the graph
 analogue of sequence-parallel boundary exchange.  Cross-shard-exact BN uses
@@ -47,6 +53,8 @@ __all__ = [
     "SlotOverflow",
     "partition_nodes",
     "halo_exchange",
+    "HALO_TPU_COMPILER_OPTIONS",
+    "halo_compiler_options",
     "node_partition_specs",
     "make_np_train_step",
     "make_np_eval_step",
@@ -56,6 +64,25 @@ __all__ = [
     "make_scan_np_train_steps",
     "make_scan_dp_np_train_steps",
 ]
+
+
+# TPU compile options for every halo-path jit: convert the per-layer halo
+# all_to_alls into async start/done pairs so the latency-hiding scheduler can
+# place independent compute (bond encoders, local message/stream work) between
+# the halves — the BASELINE north star's "overlapped with local aggregation".
+# Round-4's AOT v5e 2x4 schedule proved the default compiles them SYNC (8
+# sync, 0 async pairs); with this option the same step compiles to async
+# pairs with compute scheduled inside (AOT_SCHEDULE.json, round 5, via
+# scripts/aot_overlap_check.py).  TPU-only: the CPU backend (virtual-mesh
+# tests, driver dryrun) rejects unknown TPU options, so jits pass it only
+# when the default backend is TPU (halo_compiler_options()).
+HALO_TPU_COMPILER_OPTIONS = {"xla_tpu_enable_async_all_to_all": "true"}
+
+
+def halo_compiler_options():
+    import jax as _jax
+    return (dict(HALO_TPU_COMPILER_OPTIONS)
+            if _jax.default_backend() == "tpu" else None)
 
 
 class SlotOverflow(ValueError):
@@ -275,7 +302,8 @@ def _jit_y_dispatch(device_step, mesh, specs_fn, donate: bool, out_spec=P()):
         step = variants[(batch.y is not None, batch.scan_flags is not None)]
         return step(state, batch, lr)
 
-    return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+    return jax.jit(dispatch, donate_argnums=(0,) if donate else (),
+                   compiler_options=halo_compiler_options())
 
 
 def _np_device_step(model, tx, loss_fn: Callable, weight_decay: float,
@@ -368,7 +396,8 @@ def make_scan_np_train_steps(model, tx, loss_fn: Callable, mesh: Mesh,
                          batches.scan_flags is not None)]
         return step(state, batches, lr)
 
-    return jax.jit(dispatch, donate_argnums=(0,))
+    return jax.jit(dispatch, donate_argnums=(0,),
+                   compiler_options=halo_compiler_options())
 
 
 def _jit_eval_y_dispatch(device_step, mesh, specs_fn, out_spec=P()):
@@ -384,7 +413,7 @@ def _jit_eval_y_dispatch(device_step, mesh, specs_fn, out_spec=P()):
         step = variants[(batch.y is not None, batch.scan_flags is not None)]
         return step(state, batch)
 
-    return jax.jit(dispatch)
+    return jax.jit(dispatch, compiler_options=halo_compiler_options())
 
 
 def make_np_eval_step(model, mesh: Mesh):
@@ -504,4 +533,5 @@ def make_scan_dp_np_train_steps(model, tx, loss_fn: Callable, mesh: Mesh,
                          batches.scan_flags is not None)]
         return step(state, batches, lr)
 
-    return jax.jit(dispatch, donate_argnums=(0,))
+    return jax.jit(dispatch, donate_argnums=(0,),
+                   compiler_options=halo_compiler_options())

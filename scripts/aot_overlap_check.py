@@ -1,16 +1,25 @@
-"""Schedule-level overlap check for the halo all_to_all (VERDICT r3 #6).
+"""Schedule-level overlap check for the halo all_to_all (VERDICT r3 #6,
+r4 next #1).
 
 AOT-compiles the FULL node-parallel flagship train step for a real v5e 2x4
 TPU topology (jax.experimental.topologies + the chipless TpuAotCompiler; no
 multi-chip hardware needed) entirely from abstract values — nothing runs on
-the attached chip — then inspects the SCHEDULED optimized HLO: are the halo
-all-to-alls async (start/done pairs with compute between) or synchronous?
+the attached chip — then inspects the SCHEDULED optimized HLO.
 
-Round-4 result (AOT_SCHEDULE.json): 8 synchronous all-to-alls, zero async
-pairs — XLA does NOT hide the halo exchange behind bond-encoder compute at
-this config, so parallel/comm_model.py predicts with overlap=0 (bounds
-reported).  Usage: python scripts/aot_overlap_check.py  (needs the axon
-remote-compile service; not part of the CPU pytest suite).
+Round-4 result: with default options the 8 halo all-to-alls are scheduled
+SYNCHRONOUSLY (no start/done pairs) — XLA exposes the full comm latency.
+
+Round 5: the TPU compile option ``xla_tpu_enable_async_all_to_all=true``
+(probed to exist in this XLA) converts them to async start/done pairs and the
+latency-hiding scheduler moves independent compute (bond encoders, local
+GEMM/stream work) between the halves.  parallel/halo.py now passes exactly
+this option to every halo-path jit on the TPU backend (halo_compiler_options);
+this script compiles BOTH variants and records, per async pair, how many
+scheduled instructions (and fusions) sit between start and done — the
+falsifiable schedule-level evidence that the exchange is overlapped.
+
+Usage: python scripts/aot_overlap_check.py  (needs the axon remote-compile
+service; not part of the CPU pytest suite).
 """
 import sys, os, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,7 +37,8 @@ print("mesh over topology:", dict(mesh.shape), flush=True)
 
 from phc_gnn_tpu.data import ZINC_ATOM_DIMS, ZINC_BOND_DIMS, synthetic_batch
 from phc_gnn_tpu.models import PHCGNN
-from phc_gnn_tpu.parallel.halo import (make_np_train_step, partition_nodes,
+from phc_gnn_tpu.parallel.halo import (HALO_TPU_COMPILER_OPTIONS,
+                                       make_np_train_step, partition_nodes,
                                        node_partition_specs)
 from phc_gnn_tpu.train import create_train_state, make_optimizer
 from phc_gnn_tpu.train.loss import masked_l1
@@ -73,29 +83,76 @@ step = make_np_train_step(model, tx, lambda o, b: masked_l1(o, b.y), mesh,
                           donate=False)
 lowered = step.lower(state_sds, part_sds, lr_sds)
 print("lowered ok", flush=True)
-comp = lowered.compile()
-txt = comp.as_text()
-print("compiled HLO len", len(txt), flush=True)
-counts = {pat: len(re.findall(re.escape(pat), txt)) for pat in (
-    "all-to-all-start", "all-to-all-done", " all-to-all(",
-    "all-reduce-start", " all-reduce(", "collective-permute-start")}
+
+
+def analyze(txt):
+    """Counts + per-async-pair schedule distance.  is_scheduled=true means
+    the textual instruction order IS the schedule, so the number of
+    instructions between a start and its done is the compute the scheduler
+    placed under the exchange."""
+    pairs = []
+    lines = txt.splitlines()
+    starts = {}  # var name -> line index
+    n_sync = 0
+    for i, ln in enumerate(lines):
+        if re.search(r"=[^=]* all-to-all\(", ln):
+            n_sync += 1
+            continue
+        m = re.match(r"\s*(\S+)\s*=.* all-to-all-start\(", ln)
+        if m:
+            starts[m.group(1)] = i
+            continue
+        m = re.search(r"all-to-all-done\((\S+?)[),]", ln)
+        if m and m.group(1) in starts:
+            j = starts.pop(m.group(1))
+            between = lines[j + 1:i]
+            pairs.append({
+                "instructions_between": len(between),
+                "fusions_between": sum(1 for b in between if "fusion(" in b),
+            })
+    counts = {
+        "sync_all_to_all": n_sync,
+        "async_all_to_all_pairs": len(pairs),
+        "sync_all_reduce": len(re.findall(r"=[^=]* all-reduce\(", txt)),
+        "async_all_reduce_pairs": len(
+            re.findall(r"=.* all-reduce-start\(", txt)),
+        "pairs": pairs,
+    }
+    return counts
+
+
+results = {}
+# the jit from make_np_train_step already carries HALO_TPU_COMPILER_OPTIONS
+# (halo.py passes them on the TPU backend), so the baseline arm must force
+# the flag OFF explicitly to reproduce the round-4 synchronous schedule
+for name, opts in (("default", {"xla_tpu_enable_async_all_to_all": "false"}),
+                   ("async", HALO_TPU_COMPILER_OPTIONS)):
+    comp = lowered.compile(compiler_options=opts)
+    txt = comp.as_text()
+    res = analyze(txt)
+    res["is_scheduled"] = "is_scheduled=true" in txt
+    res["hlo_bytes"] = len(txt)
+    results[name] = res
+    print(name, {k: v for k, v in res.items() if k != "pairs"}, flush=True)
+
+a = results["async"]
+overlapped = (a["async_all_to_all_pairs"] > 0 and a["pairs"]
+              and all(p["instructions_between"] > 0 for p in a["pairs"]))
 rec = {
     "topology": "v5e:2x4",
     "mesh": {"dp": 1, "ep": 8},
     "model": "flagship PHC-GNN n=4, 4x200 softmax, halo node-sharded",
-    "is_scheduled": "is_scheduled=true" in txt,
-    "hlo_bytes": len(txt),
-    "sync_all_to_all": counts[" all-to-all("],
-    "async_all_to_all_pairs": counts["all-to-all-start"],
-    "sync_all_reduce": counts[" all-reduce("],
-    "async_all_reduce_pairs": counts["all-reduce-start"],
-    "conclusion": ("halo all_to_alls are scheduled SYNCHRONOUSLY (no async "
-                   "start/done pairs): XLA exposes the full comm latency at "
-                   "this config -> comm_model predicts with overlap=0"),
+    "compiler_options": HALO_TPU_COMPILER_OPTIONS,
+    "default": results["default"],
+    "async": results["async"],
+    "conclusion": (
+        "halo all_to_alls compile to async start/done pairs with compute "
+        "scheduled between the halves (overlapped)" if overlapped else
+        "async flag did not produce overlapped pairs — investigate"),
 }
-print(json.dumps(rec), flush=True)
+print(json.dumps({k: rec[k] for k in ("conclusion",)}), flush=True)
 with open(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "AOT_SCHEDULE.json"), "w") as f:
     json.dump(rec, f, indent=1)
     f.write("\n")
-print("AOT_OK")
+print("AOT_OK" if overlapped else "AOT_NO_OVERLAP")

@@ -436,3 +436,43 @@ def test_packed_gates_match_in_kernel_derivation():
         np.testing.assert_array_equal(
             packed[b * be:(b + 1) * be, 2 * np_passes + 1],
             (gl == 0.0).astype(np.float32))
+
+
+def test_halo_gather_split_matches_concat_gather():
+    """split_take / halo_gather_split_streamed == take(concat([x, xr]), s)
+    in forward AND in both cotangents (the structural half of the halo
+    overlap design — VERDICT r4 next #1)."""
+    import jax
+    import jax.numpy as jnp
+    from phc_gnn_tpu.ops.stream_scan import (build_sender_plan,
+                                             halo_gather_split_streamed,
+                                             split_take)
+
+    rng = np.random.default_rng(11)
+    ns, hr, e, d = 96, 32, 256, 24
+    x = jnp.asarray(rng.normal(size=(ns, d)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(hr, d)).astype(np.float32))
+    senders = jnp.asarray(rng.integers(0, ns + hr, e).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32))
+
+    def oracle(x, xr):
+        return jnp.take(jnp.concatenate([x, xr], 0), senders, axis=0)
+
+    y_ref, vjp_ref = jax.vjp(oracle, x, xr)
+    y1 = split_take(x, xr, senders)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y_ref))
+    dx_ref, dxr_ref = vjp_ref(g)
+
+    plan = build_sender_plan(np.asarray(senders), ns + hr, 64)
+    plan = tuple(jnp.asarray(p) for p in plan)
+
+    def ours(x, xr):
+        return halo_gather_split_streamed(x, xr, senders, *plan)
+
+    y2, vjp2 = jax.vjp(ours, x, xr)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y_ref))
+    dx2, dxr2 = vjp2(g)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx_ref),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dxr2), np.asarray(dxr_ref),
+                               rtol=1e-6, atol=1e-5)
