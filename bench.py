@@ -71,11 +71,18 @@ def achievable_floors(n_nodes, n_edges, d, layers, timed_op):
     # abs() readouts: a plain sum would let XLA collapse sum(A @ W) into
     # two vector products and time ~nothing (measured: negative slope)
     def measure(f):
-        # escalate loop length + reps until the slope comes out positive
-        for n1, n2, reps in ((20, 220, 3), (20, 420, 5), (40, 840, 5)):
-            t = timed_op(f, n1=n1, n2=n2, reps=reps)
-            if t > 0.0:
-                return t, False
+        # Noise on the tunneled chip only ever INFLATES a slope (or flips it
+        # negative) — it cannot make an op run faster than the hardware — so
+        # the floor estimate is the MIN positive slope across two
+        # measurements, escalating to a longer loop only if both fail.
+        ts = [timed_op(f, n1=n1, n2=n2, reps=reps)
+              for n1, n2, reps in ((20, 220, 3), (20, 420, 5))]
+        pos = [t for t in ts if t > 0.0]
+        if pos:
+            return min(pos), False
+        t = timed_op(f, n1=40, n2=840, reps=5)
+        if t > 0.0:
+            return t, False
         return 0.0, True
 
     t_stream, d1 = measure(lambda k: jnp.sum(jnp.abs(xe + k)))  # edge r+w

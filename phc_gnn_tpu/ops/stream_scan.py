@@ -69,7 +69,8 @@ DEFAULT_SCAN_BLOCK = 256  # BE: edge rows per grid step.  Swept on-chip
 
 
 
-def _pack_scan_gates(flags: np.ndarray, block_edges: int) -> np.ndarray:
+def _pack_scan_gates(flags: np.ndarray, block_edges: int,
+                     min_passes: int = 0) -> np.ndarray:
     """Precompute the per-pass combine gates of the segmented scan ON HOST.
 
     Round 4: the in-kernel flag evolution (log2(BE) roll/max passes over a
@@ -92,10 +93,37 @@ def _pack_scan_gates(flags: np.ndarray, block_edges: int) -> np.ndarray:
     eb = flags.shape[0]
     nb = eb // block_edges
     be = block_edges
-    np_passes = be.bit_length() - 1
-    assert be == 1 << np_passes, "scan block must be a power of two"
+    np_full = be.bit_length() - 1
+    assert be == 1 << np_full, "scan block must be a power of two"
     r = np.arange(be)
     fb = flags.reshape(nb, be).astype(np.float32)
+
+    # ---- adaptive pass depth (round 5).  A pass with shift s only does work
+    # where some in-block run is longer than s; the kernels derive their pass
+    # count from the gate LANE COUNT (_num_passes), so emitting only the
+    # needed lanes skips the deep passes with zero kernel changes.  Measured
+    # (scripts/bench_pass_depth.py, 8192x200 block 256): the "tile-granular"
+    # deep rolls are NOT free — passes s=8..128 cost 29 of the sum-scan's
+    # 53 us (s=128 alone 15 us) — so molecular streams (degree <= 16 incl.
+    # self loop) drop from 8 to 4 passes.  Depth = longest in-block run in
+    # EITHER orientation (fwd: block row 0 acts as a run start; suffix: last
+    # row acts as a run end), quantized to {4, np_full} so bucket shapes
+    # stay stable across batches (at most two compile shapes per bucket).
+    fb_fwd = fb.copy()
+    fb_fwd[:, 0] = 1.0
+    idx = np.nonzero(fb_fwd.reshape(-1))[0]
+    max_run = int(np.diff(np.append(idx, nb * be)).max())
+    ef_full = np.concatenate([flags[1:], [1.0]]).astype(np.float32)
+    eb_rev = ef_full.reshape(nb, be)[:, ::-1].copy()
+    eb_rev[:, 0] = 1.0
+    idx_s = np.nonzero(eb_rev.reshape(-1))[0]
+    max_run = max(max_run, int(np.diff(np.append(idx_s, nb * be)).max()))
+    needed = max(1, int(np.ceil(np.log2(max(max_run, 1))))) if max_run > 1 \
+        else 1
+    needed = max(needed, min_passes)  # caller-forced floor (stacked shards)
+    np_passes = 4 if needed <= 4 and np_full > 4 else np_full
+    np_passes = min(np_passes, np_full)
+
     out = np.zeros((nb, be, 2 * np_passes + 2), np.float32)
 
     # forward gates + s0 (mirrors _scan_core's former in-kernel evolution)
@@ -141,53 +169,84 @@ def _pack_scan_gates(flags: np.ndarray, block_edges: int) -> np.ndarray:
 
 
 def build_scan_plan(receivers: np.ndarray, num_nodes: int,
-                    block_edges: int = DEFAULT_SCAN_BLOCK):
+                    block_edges: int = DEFAULT_SCAN_BLOCK,
+                    edge_mask: Optional[np.ndarray] = None,
+                    min_passes: int = 0):
     """Host-side static plan for a receiver array sorted ascending.
 
-    Returns (gates [E, 2*log2(block)+2] f32 packed per-pass scan gates —
-    see _pack_scan_gates; round 4 replaced the former [E, 1] raw start
-    flags, whose evolution the kernels used to recompute every invocation —
+    Returns (gates [E, 2*NP+2] f32 packed per-pass scan gates — see
+    _pack_scan_gates; NP adapts to the data's longest in-block run —
     cont [NB] i32 continuation bits, last_edge [N] i32 index of each node's
     last edge or -1).  Padding edges must already point at the last node row
-    with mask False — they simply extend its segment and are zeroed by the
-    caller.
+    with mask False — they extend its segment and are zeroed by the caller.
+
+    With ``edge_mask`` (round 5): the TRAILING all-masked run (the batcher's
+    padding tail — often ~20 % of the edge array, all pointing at one node)
+    is isolated into one-row segments and ``last_edge`` points at the last
+    REAL edge instead, so the tail cannot force full scan depth.  Exact:
+    padding rows contribute zeros and are never gathered.  Masked edges
+    interleaved among real ones (not part of the trailing run) keep the old
+    in-segment treatment.
 
     ``block_edges`` must be a power of two (the packed gate lanes encode one
     roll+combine pass per bit; _pack_scan_gates asserts this).
     """
     receivers = np.asarray(receivers, np.int64)
     e = receivers.shape[0]
+    split = e  # rows >= split: isolated one-row segments, never gathered
+    if edge_mask is not None and e > 0:
+        m = np.asarray(edge_mask, bool)
+        nz = np.nonzero(m)[0]
+        split = int(nz[-1]) + 1 if nz.size else 0
     eb = round_up(max(e, 1), block_edges)
     flags = np.ones(eb, np.float32)
-    if e > 0:
-        flags[1:e] = (receivers[1:] != receivers[:-1]).astype(np.float32)
-        # rows beyond E keep flag=1 (their value rows are zero-padded)
+    if split > 0:
+        flags[1:split] = (receivers[1:split]
+                          != receivers[:split - 1]).astype(np.float32)
+        # rows in [split, eb) keep flag=1 (zero-padded one-row segments)
     nb = eb // block_edges
     cont = np.zeros(nb, np.int32)
     starts = np.arange(1, nb) * block_edges
-    valid = starts < e
+    valid = starts < split
     cont[1:][valid] = (receivers[starts[valid]]
                        == receivers[starts[valid] - 1]).astype(np.int32)
     last = np.full(num_nodes, -1, np.int64)
-    if e > 0:
-        last[receivers] = np.arange(e)  # ascending -> final write is the max
-    gates = _pack_scan_gates(flags, block_edges)
+    if split > 0:
+        # ascending -> final write is the max; tail rows excluded so the
+        # last padded node's gather lands on its last REAL edge
+        last[receivers[:split]] = np.arange(split)
+    gates = _pack_scan_gates(flags, block_edges, min_passes=min_passes)
     return gates, cont, last.astype(np.int32)
 
 
 def build_sender_plan(senders: np.ndarray, num_src_rows: int,
-                      block_edges: int = DEFAULT_SCAN_BLOCK):
+                      block_edges: int = DEFAULT_SCAN_BLOCK,
+                      edge_mask: Optional[np.ndarray] = None,
+                      min_passes: int = 0):
     """Host-side plan that turns the message gather's backward scatter
     ``dx[senders] += g`` into a streamed segment-sum (VERDICT r2 #4: the
     >=16k gather-locality cliff is the XLA scatter lowering, and senders —
     unlike receivers — are free to reorder).
 
     Returns (perm [E] i32 stable sort-by-sender permutation, flags, cont,
-    last) where the scan plan is built over senders[perm]."""
+    last) where the scan plan is built over senders[perm].  With
+    ``edge_mask``, masked (padding) edges sort to the END regardless of
+    their sender value, so the tail-isolation of build_scan_plan applies
+    (their cotangents are zero by construction — every aggregation kernel
+    masks before reducing)."""
     senders = np.asarray(senders, np.int64)
-    perm = np.argsort(senders, kind="stable")
-    flags, cont, last = build_scan_plan(senders[perm], num_src_rows,
-                                        block_edges)
+    if edge_mask is not None:
+        m = np.asarray(edge_mask, bool)
+        key = np.where(m, senders, np.int64(num_src_rows))
+        perm = np.argsort(key, kind="stable")
+        flags, cont, last = build_scan_plan(senders[perm], num_src_rows,
+                                            block_edges, edge_mask=m[perm],
+                                            min_passes=min_passes)
+    else:
+        perm = np.argsort(senders, kind="stable")
+        flags, cont, last = build_scan_plan(senders[perm], num_src_rows,
+                                            block_edges,
+                                            min_passes=min_passes)
     return perm.astype(np.int32), flags, cont, last
 
 
@@ -202,11 +261,14 @@ def attach_scan_plan(batch, block_edges: int = DEFAULT_SCAN_BLOCK,
     recv = np.asarray(batch.receivers)
     assert recv.ndim == 1 and np.all(recv[1:] >= recv[:-1]), \
         "scan plan needs receiver-sorted edges"
-    flags, cont, last = build_scan_plan(recv, batch.num_nodes, block_edges)
+    emask = (np.asarray(batch.edge_mask) if batch.edge_mask is not None
+             else None)
+    flags, cont, last = build_scan_plan(recv, batch.num_nodes, block_edges,
+                                        edge_mask=emask)
     snd = {}
     if sender_plan:
         sp, sf, sc, sl = build_sender_plan(batch.senders, batch.num_nodes,
-                                           block_edges)
+                                           block_edges, edge_mask=emask)
         snd = dict(snd_perm=jnp.asarray(sp), snd_flags=jnp.asarray(sf),
                    snd_cont=jnp.asarray(sc), snd_last=jnp.asarray(sl))
     return batch.replace(scan_flags=jnp.asarray(flags),

@@ -232,11 +232,25 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
                                                  build_scan_plan,
                                                  build_sender_plan)
         blk = scan_block or DEFAULT_SCAN_BLOCK
-        plans = [build_scan_plan(out_recv[s], NS, blk) for s in range(S)]
+        def unify(build, gate_idx, args_per_shard):
+            """Per-shard plans stack on a leading S axis, so every shard
+            must emit the same adaptive gate-lane count: rebuild narrow
+            shards at the widest shard's depth."""
+            ps = [build(*a) for a in args_per_shard]
+            widths = {p[gate_idx].shape[-1] for p in ps}
+            if len(widths) > 1:
+                np_max = (max(widths) - 2) // 2
+                ps = [build(*a, min_passes=np_max) for a in args_per_shard]
+            return ps
+
+        plans = unify(build_scan_plan, 0,
+                      [(out_recv[s], NS, blk, out_emask[s])
+                       for s in range(S)])
         # sender-sorted plan over the AUGMENTED [NS + S*H] index space, so
         # the message gather's streamed backward works inside each shard too
-        splans = [build_sender_plan(out_send[s], NS + S * H, blk)
-                  for s in range(S)]
+        splans = unify(build_sender_plan, 1,
+                       [(out_send[s], NS + S * H, blk, out_emask[s])
+                        for s in range(S)])
         scan_fields = dict(
             scan_flags=jnp.asarray(np.stack([p[0] for p in plans])),
             scan_cont=jnp.asarray(np.stack([p[1] for p in plans])),

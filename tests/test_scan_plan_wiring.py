@@ -33,8 +33,11 @@ def _batch(scan=False):
 
 def test_attach_scan_plan_matches_builder():
     b = _batch(scan=True)
+    # round 5: attach_scan_plan forwards the edge mask (padding-tail
+    # isolation + adaptive pass depth), so the oracle must too
     flags, cont, last = build_scan_plan(np.asarray(b.receivers), b.num_nodes,
-                                        128)
+                                        128,
+                                        edge_mask=np.asarray(b.edge_mask))
     np.testing.assert_array_equal(np.asarray(b.scan_flags), flags)
     np.testing.assert_array_equal(np.asarray(b.scan_cont), cont)
     np.testing.assert_array_equal(np.asarray(b.last_edge), last)

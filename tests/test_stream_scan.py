@@ -395,8 +395,20 @@ def test_packed_gates_match_in_kernel_derivation():
     flags = (rng.random(eb) < 0.25).astype(np.float32)
     flags[0] = 1.0
     packed = _pack_scan_gates(flags, be)
-    np_passes = 6
-    assert packed.shape == (eb, 2 * np_passes + 2)
+    # round 5: the emitted pass depth is ADAPTIVE (lane count = 2*NP+2 with
+    # NP in {4, log2(be)} chosen from the longest in-block run — see
+    # _pack_scan_gates); the kernels derive NP from the lane count, and the
+    # evolution below must match for exactly the emitted passes.  Depth
+    # sufficiency: 2^NP must cover the longest in-block run.
+    np_passes = (packed.shape[1] - 2) // 2
+    assert np_passes in (4, 6)
+    runs = []
+    for b in range(nb):
+        f = flags[b * be:(b + 1) * be].copy()
+        f[0] = 1.0
+        starts = np.nonzero(f)[0]
+        runs.append(int(np.diff(np.append(starts, be)).max()))
+    assert (1 << np_passes) >= max(runs)
 
     for b in range(nb):
         f = flags[b * be:(b + 1) * be]
@@ -476,3 +488,34 @@ def test_halo_gather_split_matches_concat_gather():
                                rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dxr2), np.asarray(dxr_ref),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_adaptive_pass_depth_quantization_and_correctness():
+    """Round 5: _pack_scan_gates emits only the gate lanes the data needs
+    (measured on chip: the deep rolls cost 29 of the sum-scan's 53 us, so
+    molecular streams run 4 passes instead of 8).  Short runs -> NP=4,
+    any in-block run > 16 -> full depth; the scan stays exact either way."""
+    from phc_gnn_tpu.graph.segment import segment_sum
+    from phc_gnn_tpu.ops.stream_scan import (_pack_scan_gates,
+                                             build_scan_plan,
+                                             segment_sum_streamed)
+
+    # degrees <= 6: NP = 4
+    short = np.repeat(np.arange(80), 4)[:256].astype(np.int64)
+    g4, _, _ = build_scan_plan(np.sort(short), 80, 256)
+    assert g4.shape[1] == 2 * 4 + 2
+    # one 40-row segment: full depth (log2(256) = 8)
+    long = np.sort(np.concatenate([np.zeros(40), np.arange(1, 217)]))
+    g8, _, _ = build_scan_plan(long.astype(np.int64), 217, 256)
+    assert g8.shape[1] == 2 * 8 + 2
+
+    for recv, n in ((np.sort(short), 80), (long.astype(np.int64), 217)):
+        rng = np.random.default_rng(9)
+        msgs = jnp.asarray(rng.normal(size=(256, 24)).astype(np.float32))
+        flags, cont, last = build_scan_plan(recv, n, 256)
+        got = segment_sum_streamed(msgs, jnp.asarray(recv.astype(np.int32)),
+                                   jnp.asarray(flags), jnp.asarray(cont),
+                                   jnp.asarray(last), n, block_edges=256)
+        want = segment_sum(msgs, jnp.asarray(recv.astype(np.int32)), n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
