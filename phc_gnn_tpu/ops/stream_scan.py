@@ -121,8 +121,16 @@ def _pack_scan_gates(flags: np.ndarray, block_edges: int,
     needed = max(1, int(np.ceil(np.log2(max(max_run, 1))))) if max_run > 1 \
         else 1
     needed = max(needed, min_passes)  # caller-forced floor (stacked shards)
-    np_passes = 4 if needed <= 4 and np_full > 4 else np_full
-    np_passes = min(np_passes, np_full)
+    # quantize {4, 6, np_full}: measured (bench_pass_depth) NP=4..6 all cost
+    # ~31 us vs 38/53 at NP=7/8 — s=64 and especially s=128 are the
+    # expensive deep rolls — so runs <= 64 stay on the cheap tier while
+    # shapes remain stable (<= 3 compile variants per bucket)
+    for q in (4, 6):
+        if needed <= q < np_full:
+            np_passes = q
+            break
+    else:
+        np_passes = np_full
 
     out = np.zeros((nb, be, 2 * np_passes + 2), np.float32)
 

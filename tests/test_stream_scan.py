@@ -504,12 +504,17 @@ def test_adaptive_pass_depth_quantization_and_correctness():
     short = np.repeat(np.arange(80), 4)[:256].astype(np.int64)
     g4, _, _ = build_scan_plan(np.sort(short), 80, 256)
     assert g4.shape[1] == 2 * 4 + 2
-    # one 40-row segment: full depth (log2(256) = 8)
-    long = np.sort(np.concatenate([np.zeros(40), np.arange(1, 217)]))
-    g8, _, _ = build_scan_plan(long.astype(np.int64), 217, 256)
+    # one 40-row segment: middle tier NP = 6 (covers runs <= 64)
+    mid = np.sort(np.concatenate([np.zeros(40), np.arange(1, 217)]))
+    g6, _, _ = build_scan_plan(mid.astype(np.int64), 217, 256)
+    assert g6.shape[1] == 2 * 6 + 2
+    # a 100-row segment: full depth (log2(256) = 8)
+    long = np.sort(np.concatenate([np.zeros(100), np.arange(1, 157)]))
+    g8, _, _ = build_scan_plan(long.astype(np.int64), 157, 256)
     assert g8.shape[1] == 2 * 8 + 2
 
-    for recv, n in ((np.sort(short), 80), (long.astype(np.int64), 217)):
+    for recv, n in ((np.sort(short), 80), (mid.astype(np.int64), 217),
+                    (long.astype(np.int64), 157)):
         rng = np.random.default_rng(9)
         msgs = jnp.asarray(rng.normal(size=(256, 24)).astype(np.float32))
         flags, cont, last = build_scan_plan(recv, n, 256)
