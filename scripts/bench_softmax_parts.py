@@ -28,7 +28,9 @@ fl, co, la = map(jnp.asarray, (flags, cont, last))
 eb = fl.shape[0]
 beta = jnp.float32(1.1)
 mask_col = _pad_rows(mask_f[:, None], eb)
-eflags = jnp.concatenate([fl[1:], jnp.ones((1, 1), fl.dtype)])
+# round 4+: the packed gate array carries the suffix lanes internally
+# (_pack_scan_gates) — the suffix kernel takes it directly
+eflags = fl
 
 
 def slope(f, n1=20, n2=220, reps=3):
