@@ -105,7 +105,8 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
                     edge_slots: Optional[int] = None,
                     halo_slots: Optional[int] = None,
                     scan_plan: bool = False,
-                    scan_block: Optional[int] = None) -> GraphsTuple:
+                    scan_block: Optional[int] = None,
+                    scan_min_passes: int = 0) -> GraphsTuple:
     """Host-side partitioner: stacked per-shard arrays with leading axis S.
 
     Returns a GraphsTuple whose node/edge arrays carry a leading shard axis
@@ -235,8 +236,11 @@ def partition_nodes(batch: GraphsTuple, num_shards: int,
         def unify(build, gate_idx, args_per_shard):
             """Per-shard plans stack on a leading S axis, so every shard
             must emit the same adaptive gate-lane count: rebuild narrow
-            shards at the widest shard's depth."""
-            ps = [build(*a) for a in args_per_shard]
+            shards at the widest shard's depth.  ``scan_min_passes`` lets
+            callers that stack multiple PARTITIONS (dp groups, stress
+            scripts) force a common floor across batches too."""
+            ps = [build(*a, min_passes=scan_min_passes)
+                  for a in args_per_shard]
             widths = {p[gate_idx].shape[-1] for p in ps}
             if len(widths) > 1:
                 np_max = (max(widths) - 2) // 2

@@ -174,6 +174,7 @@ class Trainer:
         self.accum = 1
         self.accum_step = None
         self._np_slots = (None, None)  # halo partition rungs (edge, halo)
+        self._np_passes = 0            # adaptive scan-plan depth rung
         self.scan_steps = None
         self.scan_eval = None
         self.ep_scheme = str(getattr(cfg, "ep_scheme", "halo") or "halo")
@@ -339,8 +340,10 @@ class Trainer:
         need_es, need_h = 1, 1
         if es is not None:
             try:
-                return partition_nodes(batch, self.ep, edge_slots=es,
-                                       halo_slots=h, scan_plan=self.ep_scan)
+                part = partition_nodes(batch, self.ep, edge_slots=es,
+                                       halo_slots=h, scan_plan=self.ep_scan,
+                                       scan_min_passes=self._np_passes)
+                return self._grow_pass_rung(part)
             except SlotOverflow as o:  # grow the rungs below
                 need_es, need_h = o.needed_edge_slots, o.needed_halo_slots
         else:
@@ -350,8 +353,26 @@ class Trainer:
         h = -(-max(need_h, h or 0) // 64) * 64
         self._np_slots = (es, h)
         log.info("halo partition rungs -> edge_slots=%d halo_slots=%d", es, h)
-        return partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h,
-                               scan_plan=self.ep_scan)
+        part = partition_nodes(batch, self.ep, edge_slots=es, halo_slots=h,
+                               scan_plan=self.ep_scan,
+                               scan_min_passes=self._np_passes)
+        return self._grow_pass_rung(part)
+
+    def _grow_pass_rung(self, part: GraphsTuple) -> GraphsTuple:
+        """Adaptive scan-plan depth (round 5) is data-dependent, and dp-group
+        members stack on a leading axis — so the emitted gate width rides a
+        monotone rung like the edge/halo slots.  A batch that needs a deeper
+        plan than the current rung raises the rung (its own plan is already
+        at that depth); _prep_dp_group detects the change and re-partitions
+        the group's earlier members so the whole group shares the shape."""
+        if part.scan_flags is None:
+            return part
+        w = max(part.scan_flags.shape[-1], part.snd_flags.shape[-1])
+        np_w = (w - 2) // 2
+        if np_w > self._np_passes:
+            self._np_passes = np_w
+            log.info("halo scan-plan pass rung -> %d", np_w)
+        return part
 
     def _prep_dp_group(self, pair):
         """(real, group) -> (real, stacked): partition each member over ep
@@ -360,11 +381,11 @@ class Trainer:
         real, group = pair
         if self.ep > 1:
             raw = group
-            before = self._np_slots
+            before = (self._np_slots, self._np_passes)
             group = [self._partition(b) for b in raw]
-            if self._np_slots != before:
-                # rungs grew mid-group: repack the RAW batches so the
-                # whole group shares the final static shapes
+            if (self._np_slots, self._np_passes) != before:
+                # rungs grew mid-group (slots or scan-plan depth): repack the
+                # RAW batches so the whole group shares the final shapes
                 group = [self._partition(b) for b in raw]
         return real, stack_batches(group)
 
