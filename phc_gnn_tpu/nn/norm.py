@@ -33,6 +33,11 @@ __all__ = ["PHMNorm", "QuaternionWhiteningNorm"]
 # CPU tests cover the fused path's stat bookkeeping, not just the XLA path
 _FORCE_FUSED_INTERPRET = False
 
+# bench hook (scripts/bench_whitening.py step bisect): PHMNorm instances whose
+# flax name is in this set run naive-batch-norm regardless of configured type,
+# so step-level cost can be attributed per norm site.  Never set in production.
+_FORCE_NAIVE_NAMES: set = set()
+
 
 class _BatchNorm(nn.Module):
     """Shared BN core over leading batch axis; feature shape = input.shape[1:].
@@ -146,7 +151,10 @@ class PHMNorm(nn.Module):
         assert self.norm_type in ("naive-batch-norm", "naive-naive-batch-norm",
                                   "q-batch-norm")
         n = self.phm_dim
-        if self.norm_type == "q-batch-norm":
+        norm_type = self.norm_type
+        if norm_type == "q-batch-norm" and self.name in _FORCE_NAIVE_NAMES:
+            norm_type = "naive-batch-norm"
+        if norm_type == "q-batch-norm":
             # full whitening BN (reference 'q-batch-norm', n=4 only)
             assert n == 4, "q-batch-norm requires phm_dim=4"
             d = self.num_features // n
@@ -157,7 +165,7 @@ class PHMNorm(nn.Module):
                                         name="qbn")(xs, training=training,
                                                     mask=mask)
             return y.reshape(x.shape).astype(x.dtype)
-        if self.norm_type == "naive-batch-norm":
+        if norm_type == "naive-batch-norm":
             # [N, n*d] -> [N, n, d]: one BN per (component, feature) pair ==
             # n independent per-component BatchNorm1d(d)
             d = self.num_features // n
@@ -242,43 +250,76 @@ class QuaternionWhiteningNorm(nn.Module):
                 return jax.lax.psum(v, self.stat_axis)
             return v
 
+        # Component-slice formulation (round 5, KERNELS.md): every per-row op
+        # runs on [N, d] slices so d stays in the TPU lane dimension.  The
+        # earlier form transposed to [N, d, 4] and solved with the quaternion
+        # axis in lanes (4/128 utilization) and built the covariance via
+        # einsum("ncd,nkd->dck") — a TPU dot in DEFAULT precision, i.e.
+        # bf16-truncated operands (~3e-4 abs cov error).  The slice form is
+        # pure-f32 elementwise: measured 24.1 -> 7.3 us fwd, 41.6 -> 11.7 us
+        # fwd+bwd at [4096, 4, 50] (scripts/bench_whitening.py) AND tightens
+        # output error vs an f64 oracle from 4.6e-3 to 1.9e-7 relative.
+        c = [x[:, k, :] for k in range(4)]  # 4 x [N, d]
         if training:
             if mask is not None:
-                m = mask.reshape(-1, 1, 1).astype(x.dtype)
+                mcol = mask.reshape(-1, 1).astype(x.dtype)
                 cnt = jnp.maximum(_psum(jnp.sum(mask.astype(x.dtype))), 1.0)
-                mean = _psum(jnp.sum(x * m, axis=0)) / cnt  # [4, d]
-                centered = (x - mean[None]) * m
-                cov = _psum(
-                    jnp.einsum("ncd,nkd->dck", centered, centered)) / cnt
+                mean = [_psum(jnp.sum(ck * mcol, axis=0)) / cnt for ck in c]
+                cm = [(ck - mu[None]) * mcol for ck, mu in zip(c, mean)]
             else:
                 cnt = _psum(jnp.float32(x.shape[0]))
-                mean = _psum(jnp.sum(x, axis=0)) / cnt  # [4, d]
-                centered = x - mean[None]
-                # per-feature 4x4 covariance: [d, 4, 4]
-                cov = _psum(
-                    jnp.einsum("ncd,nkd->dck", centered, centered)) / cnt
+                mean = [_psum(jnp.sum(ck, axis=0)) / cnt for ck in c]
+                cm = [ck - mu[None] for ck, mu in zip(c, mean)]
+            # upper-triangular per-feature covariance entries, each [d]
+            cov = {}
+            for j in range(4):
+                for k in range(j, 4):
+                    cov[(j, k)] = _psum(jnp.sum(cm[j] * cm[k], axis=0)) / cnt
             if not self.is_initializing():
-                ra_mean.value = ra_mean.value + self.momentum * (mean - ra_mean.value)
+                mean_s = jnp.stack(mean, axis=0)  # [4, d]
+                cov_s = jnp.stack(
+                    [jnp.stack([cov[(min(j, k), max(j, k))] for k in range(4)],
+                               axis=0) for j in range(4)], axis=0)  # [4, 4, d]
+                ra_mean.value = ra_mean.value + self.momentum * (
+                    mean_s - ra_mean.value)
                 ra_cov.value = ra_cov.value + self.momentum * (
-                    jnp.transpose(cov, (1, 2, 0)) - ra_cov.value)
+                    cov_s - ra_cov.value)
         else:
-            mean = ra_mean.value
-            centered = x - mean[None]
-            cov = jnp.transpose(ra_cov.value, (2, 0, 1))
-        if training and mask is not None:
-            # keep un-zeroed centered values for the whitening transform itself
-            centered = x - mean[None]
-        cov = cov + self.eps * jnp.eye(4)[None]
-        l = _cholesky4x4(cov)  # [d, 4, 4]
-        # whiten: z = L^{-1} (x - mean), per feature
-        b = jnp.transpose(centered, (0, 2, 1))  # [N, d, 4]
-        z = _solve_lower4x4(l[None], b)  # [N, d, 4]
-        z = jnp.transpose(z, (0, 2, 1))  # [N, 4, d]
+            mean = [ra_mean.value[k] for k in range(4)]
+            cov = {(j, k): ra_cov.value[j, k]
+                   for j in range(4) for k in range(j, 4)}
+        # un-zeroed centered values for the whitening transform itself (the
+        # mask only gates the statistics; padded rows are still whitened)
+        cu = [ck - mu[None] for ck, mu in zip(c, mean)]
+        # closed-form Cholesky of cov + eps*I on [d] scalar fields
+        # (vectorized form of reference phc/quaternion/norm.py:20-60)
+        eps = jnp.float32(self.eps)
+        l_rr = jnp.sqrt(cov[(0, 0)] + eps)
+        l_ri = cov[(0, 1)] / l_rr
+        l_ii = jnp.sqrt(cov[(1, 1)] + eps - l_ri * l_ri)
+        l_rj = cov[(0, 2)] / l_rr
+        l_ij = (cov[(1, 2)] - l_ri * l_rj) / l_ii
+        l_jj = jnp.sqrt(cov[(2, 2)] + eps - (l_ij * l_ij + l_rj * l_rj))
+        l_rk = cov[(0, 3)] / l_rr
+        l_ik = (cov[(1, 3)] - l_ri * l_rk) / l_ii
+        l_jk = (cov[(2, 3)] - (l_ij * l_ik + l_rj * l_rk)) / l_jj
+        l_kk = jnp.sqrt(cov[(3, 3)] + eps
+                        - (l_jk * l_jk + l_ik * l_ik + l_rk * l_rk))
+        # forward substitution L z = (x - mean): [N, d] rows against [d]
+        # coefficient fields — no transpose, no 4-wide lane ops
+        z0 = cu[0] / l_rr[None]
+        z1 = (cu[1] - l_ri[None] * z0) / l_ii[None]
+        z2 = (cu[2] - l_rj[None] * z0 - l_ij[None] * z1) / l_jj[None]
+        z3 = (cu[3] - l_rk[None] * z0 - l_ik[None] * z1
+              - l_jk[None] * z2) / l_kk[None]
+        zs = [z0, z1, z2, z3]
         if self.affine:
             def gamma_init(key, shape, dtype=jnp.float32):
                 return jnp.broadcast_to((0.5 * jnp.eye(4))[..., None], shape).astype(dtype)
 
             gamma = self.param("gamma", gamma_init, (4, 4, d))
             beta = self.param("beta", nn.initializers.zeros, (4, d))
-            z = jnp.einsum("ckd,nkd->ncd", gamma, z) + beta[None]
-        return z.astype(in_dtype)
+            # Gamma mix out_c = sum_k gamma[c,k] z_k + beta[c]: 16 [N,d] FMAs
+            zs = [sum(gamma[cc, k][None] * zs[k] for k in range(4))
+                  + beta[cc][None] for cc in range(4)]
+        return jnp.stack(zs, axis=1).astype(in_dtype)
