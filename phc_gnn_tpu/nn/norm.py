@@ -155,16 +155,17 @@ class PHMNorm(nn.Module):
         if norm_type == "q-batch-norm" and self.name in _FORCE_NAIVE_NAMES:
             norm_type = "naive-batch-norm"
         if norm_type == "q-batch-norm":
-            # full whitening BN (reference 'q-batch-norm', n=4 only)
+            # full whitening BN (reference 'q-batch-norm', n=4 only); passed
+            # FLAT [N, 4d] — the module slices lane ranges directly, avoiding
+            # rank-3 [N, 1, d] intermediates (1/8 sublane utilization)
             assert n == 4, "q-batch-norm requires phm_dim=4"
             d = self.num_features // n
-            xs = x.reshape(x.shape[0], n, d)
             y = QuaternionWhiteningNorm(num_features=d, momentum=self.momentum,
                                         eps=self.eps, affine=self.affine,
                                         stat_axis=self.stat_axis,
-                                        name="qbn")(xs, training=training,
+                                        name="qbn")(x, training=training,
                                                     mask=mask)
-            return y.reshape(x.shape).astype(x.dtype)
+            return y.astype(x.dtype)
         if norm_type == "naive-batch-norm":
             # [N, n*d] -> [N, n, d]: one BN per (component, feature) pair ==
             # n independent per-component BatchNorm1d(d)
@@ -215,10 +216,16 @@ def _solve_lower4x4(l: jax.Array, b: jax.Array) -> jax.Array:
 class QuaternionWhiteningNorm(nn.Module):
     """Full quaternion whitening batch-norm ('q-batch-norm').
 
-    Input: stacked quaternion tensor [N, 4, d].  Whitens each feature's 4-vector
-    to identity covariance via the closed-form 4x4 Cholesky (triangular solve
-    instead of an explicit inverse), then applies the learnable 4x4 Gamma
-    (init 0.5 I) and beta (reference: phc/quaternion/norm.py:104-276).
+    Input: stacked quaternion tensor [N, 4, d] or the equivalent flat
+    [N, 4*d] (component-major — the output matches the input layout).
+    Whitens each feature's 4-vector to identity covariance via the
+    closed-form 4x4 Cholesky (triangular solve instead of an explicit
+    inverse), then applies the learnable 4x4 Gamma (init 0.5 I) and beta
+    (reference: phc/quaternion/norm.py:104-276).
+
+    All per-row arithmetic runs on rank-2 [N, d] lane-range slices of the
+    flat layout: rank-3 [N, 1, d] intermediates tile as (8, 128) with one
+    sublane used — the flat form keeps full sublane occupancy.
     """
 
     num_features: int  # per-component feature count d
@@ -231,9 +238,11 @@ class QuaternionWhiteningNorm(nn.Module):
     def __call__(self, x: jax.Array, training: bool = True,
                  mask: jax.Array | None = None) -> jax.Array:
         d = self.num_features
-        assert x.ndim == 3 and x.shape[1] == 4 and x.shape[2] == d
+        assert (x.ndim == 3 and x.shape[1] == 4 and x.shape[2] == d) or \
+               (x.ndim == 2 and x.shape[1] == 4 * d), x.shape
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)
+        out_shape = x.shape
+        x = x.astype(jnp.float32).reshape(x.shape[0], 4 * d)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((4, d), jnp.float32))
         # torch-exact stat init: the reference's reset_running_stats fills the
@@ -259,7 +268,42 @@ class QuaternionWhiteningNorm(nn.Module):
         # pure-f32 elementwise: measured 24.1 -> 7.3 us fwd, 41.6 -> 11.7 us
         # fwd+bwd at [4096, 4, 50] (scripts/bench_whitening.py) AND tightens
         # output error vs an f64 oracle from 4.6e-3 to 1.9e-7 relative.
-        c = [x[:, k, :] for k in range(4)]  # 4 x [N, d]
+        if self.affine:
+            def gamma_init(key, shape, dtype=jnp.float32):
+                return jnp.broadcast_to(
+                    (0.5 * jnp.eye(4))[..., None], shape).astype(dtype)
+
+            gamma = self.param("gamma", gamma_init, (4, 4, d))
+            beta = self.param("beta", nn.initializers.zeros, (4, d))
+        else:
+            # identity mix: affine=False returns the raw whitened z
+            gamma = jnp.broadcast_to(jnp.eye(4)[..., None], (4, 4, d))
+            beta = jnp.zeros((4, d), jnp.float32)
+
+        from phc_gnn_tpu.ops import fused_whitening as _fw
+        if (training and self.stat_axis is None
+                and not _fw.FUSED_WHITENING_DISABLE):
+            # analytic-VJP path (ops/fused_whitening.py): identical math, but
+            # the backward is one compact hand-derived formula instead of
+            # ~30 interleaved autodiff reductions — in the train step this
+            # keeps the whitening a self-contained fusion region
+            mask_f = (jnp.ones((x.shape[0], 1), jnp.float32) if mask is None
+                      else mask.reshape(-1, 1).astype(jnp.float32))
+            y, mean_s, cov_s = _fw.fused_whitening(
+                x, mask_f, gamma, beta, float(self.eps))
+            if not self.is_initializing():
+                ra_mean.value = ra_mean.value + self.momentum * (
+                    mean_s - ra_mean.value)
+                ra_cov.value = ra_cov.value + self.momentum * (
+                    cov_s - ra_cov.value)
+            return y.reshape(out_shape).astype(in_dtype)
+
+        # inline path (eval mode, cross-shard stat_axis, or kill switch):
+        # rank-3 slicing — measured faster here than flat lane-range slices,
+        # whose unaligned starts emit cross-lane rotations per use (the
+        # training default above avoids both via the Pallas kernels)
+        x3 = x.reshape(x.shape[0], 4, d)
+        c = [x3[:, k, :] for k in range(4)]
         if training:
             if mask is not None:
                 mcol = mask.reshape(-1, 1).astype(x.dtype)
@@ -288,38 +332,14 @@ class QuaternionWhiteningNorm(nn.Module):
             mean = [ra_mean.value[k] for k in range(4)]
             cov = {(j, k): ra_cov.value[j, k]
                    for j in range(4) for k in range(j, 4)}
-        # un-zeroed centered values for the whitening transform itself (the
-        # mask only gates the statistics; padded rows are still whitened)
+        # un-zeroed centered values, closed-form Cholesky of cov + eps*I on
+        # [d] scalar fields, forward substitution L z = (x - mean), Gamma mix
+        # (helpers shared with ops/fused_whitening.py; reference
+        # phc/quaternion/norm.py:20-60)
         cu = [ck - mu[None] for ck, mu in zip(c, mean)]
-        # closed-form Cholesky of cov + eps*I on [d] scalar fields
-        # (vectorized form of reference phc/quaternion/norm.py:20-60)
-        eps = jnp.float32(self.eps)
-        l_rr = jnp.sqrt(cov[(0, 0)] + eps)
-        l_ri = cov[(0, 1)] / l_rr
-        l_ii = jnp.sqrt(cov[(1, 1)] + eps - l_ri * l_ri)
-        l_rj = cov[(0, 2)] / l_rr
-        l_ij = (cov[(1, 2)] - l_ri * l_rj) / l_ii
-        l_jj = jnp.sqrt(cov[(2, 2)] + eps - (l_ij * l_ij + l_rj * l_rj))
-        l_rk = cov[(0, 3)] / l_rr
-        l_ik = (cov[(1, 3)] - l_ri * l_rk) / l_ii
-        l_jk = (cov[(2, 3)] - (l_ij * l_ik + l_rj * l_rk)) / l_jj
-        l_kk = jnp.sqrt(cov[(3, 3)] + eps
-                        - (l_jk * l_jk + l_ik * l_ik + l_rk * l_rk))
-        # forward substitution L z = (x - mean): [N, d] rows against [d]
-        # coefficient fields — no transpose, no 4-wide lane ops
-        z0 = cu[0] / l_rr[None]
-        z1 = (cu[1] - l_ri[None] * z0) / l_ii[None]
-        z2 = (cu[2] - l_rj[None] * z0 - l_ij[None] * z1) / l_jj[None]
-        z3 = (cu[3] - l_rk[None] * z0 - l_ik[None] * z1
-              - l_jk[None] * z2) / l_kk[None]
-        zs = [z0, z1, z2, z3]
-        if self.affine:
-            def gamma_init(key, shape, dtype=jnp.float32):
-                return jnp.broadcast_to((0.5 * jnp.eye(4))[..., None], shape).astype(dtype)
-
-            gamma = self.param("gamma", gamma_init, (4, 4, d))
-            beta = self.param("beta", nn.initializers.zeros, (4, d))
-            # Gamma mix out_c = sum_k gamma[c,k] z_k + beta[c]: 16 [N,d] FMAs
-            zs = [sum(gamma[cc, k][None] * zs[k] for k in range(4))
-                  + beta[cc][None] for cc in range(4)]
-        return jnp.stack(zs, axis=1).astype(in_dtype)
+        l = _fw._chol_fields(cov, jnp.float32(self.eps))
+        zs = _fw._fwd_subst(l, cu)
+        # Gamma mix out_c = sum_k gamma[c,k] z_k + beta[c]: 16 [N,d] FMAs
+        zs = [sum(gamma[cc, k][None] * zs[k] for k in range(4))
+              + beta[cc][None] for cc in range(4)]
+        return jnp.stack(zs, axis=1).reshape(out_shape).astype(in_dtype)

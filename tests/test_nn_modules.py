@@ -513,3 +513,76 @@ def test_norm_dispatches_blocked_bn_past_vmem_limit():
         np.testing.assert_allclose(np.asarray(up1["batch_stats"]["bn"][k]),
                                    np.asarray(up0["batch_stats"]["bn"][k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_whitening_vjp_matches_autodiff():
+    """The hand-derived whitening VJP (ops/fused_whitening.py: solve path +
+    Cholesky phi-projection cotangent + mean correction) must match jax.grad
+    of the inline formulation exactly (same float ops, reordered)."""
+    from phc_gnn_tpu.ops.fused_whitening import (_chol_fields, _slices,
+                                                 _stats, _transform,
+                                                 fused_whitening)
+    rng = np.random.default_rng(3)
+    n, d = 96, 5
+    x = jnp.asarray(rng.normal(size=(n, 4 * d)) * 1.5 + 0.3, jnp.float32)
+    mask_f = jnp.asarray((rng.random(n) > 0.25).astype(np.float32))[:, None]
+    gamma = jnp.asarray(rng.normal(size=(4, 4, d)) * 0.2
+                        + 0.5 * np.eye(4)[..., None], jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(4, d)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, 4 * d)), jnp.float32)
+    eps = 1e-5
+
+    def plain(x_, gamma_, beta_):
+        _, c, mean, cov = _stats(x_, mask_f, d)
+        l = _chol_fields(cov, eps)
+        y, _, _ = _transform(c, mean, l, gamma_, beta_)
+        return y
+
+    def fused(x_, gamma_, beta_):
+        return fused_whitening(x_, mask_f, gamma_, beta_, eps)[0]
+
+    np.testing.assert_allclose(plain(x, gamma, beta), fused(x, gamma, beta),
+                               rtol=0, atol=0)
+    ga = jax.grad(lambda *a: jnp.sum(plain(*a) * w), argnums=(0, 1, 2))(
+        x, gamma, beta)
+    gb = jax.grad(lambda *a: jnp.sum(fused(*a) * w), argnums=(0, 1, 2))(
+        x, gamma, beta)
+    for name, a, b in zip(("dx", "dgamma", "dbeta"), ga, gb):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, err_msg=name)
+
+
+@pytest.mark.parametrize("n", [96, 2500])
+def test_fused_whitening_pallas_kernels_match_formula(n):
+    """The grid-blocked Pallas kernels (interpret mode off-TPU; n=2500
+    exercises the multi-block Chan-combine path) must match the jnp formula
+    path in outputs AND gradients."""
+    import phc_gnn_tpu.ops.fused_whitening as fw
+    rng = np.random.default_rng(7)
+    d = 5
+    x = jnp.asarray(rng.normal(size=(n, 4 * d)) * 1.2 - 0.4, jnp.float32)
+    mask_f = jnp.asarray((rng.random(n) > 0.2).astype(np.float32))[:, None]
+    gamma = jnp.asarray(rng.normal(size=(4, 4, d)) * 0.2
+                        + 0.5 * np.eye(4)[..., None], jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(4, d)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, 4 * d)), jnp.float32)
+
+    def full(x_, gamma_, beta_):
+        y, mean_s, cov_s = fw.fused_whitening(x_, mask_f, gamma_, beta_, 1e-5)
+        gx, gg, gb = jax.grad(
+            lambda a, gm, bt: jnp.sum(
+                fw.fused_whitening(a, mask_f, gm, bt, 1e-5)[0] * w),
+            argnums=(0, 1, 2))(x_, gamma_, beta_)
+        return y, mean_s, cov_s, gx, gg, gb
+
+    ref = full(x, gamma, beta)
+    assert not fw._FORCE_INTERPRET
+    fw._FORCE_INTERPRET = True
+    try:
+        pal = full(x, gamma, beta)
+    finally:
+        fw._FORCE_INTERPRET = False
+    for name, a, b in zip(("y", "mean", "cov", "dx", "dgamma", "dbeta"),
+                          ref, pal):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-9)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=name)
